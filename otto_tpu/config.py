@@ -1,0 +1,246 @@
+"""Typed configuration system.
+
+Replaces the reference's two-level config (positional argparse ``mode`` +
+per-model YAML under ``models/<name>/config.yaml``, consumed via ``yaml.load``
+and ``getattr``-style dynamic construction — reference:
+src/gensim_fasttext/trainer.py:18-22, src/matrix_factorization/torch_trainer.py:327)
+with frozen dataclasses that can round-trip through YAML/JSON dicts.
+
+Every model family has a config dataclass here; defaults mirror the reference's
+shipped YAMLs so a reference user finds the same knobs:
+
+- :class:`SGNSConfig`      <- models/fasttext/config.yaml + models/word2vec/config.yaml
+- :class:`MFConfig`        <- models/matrix_factorization/config.yaml
+- :class:`CFConfig`        <- models/aid_collaborative_filtering/config.yaml
+- :class:`RankerConfig`    <- models/lightgbm/config.yaml (lambdarank sections)
+- :class:`CovisitConfig`   <- the external covisitation matrices' seven kinds
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+
+class Mode:
+    """Run mode contract shared by every pipeline stage.
+
+    The reference passes ``mode in {validation, submission}`` positionally to
+    every CLI (e.g. src/baseline/aid_frequency.py:18-20).
+    """
+
+    VALIDATION = "validation"
+    SUBMISSION = "submission"
+    ALL = (VALIDATION, SUBMISSION)
+
+
+def _asdict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+@dataclass(frozen=True)
+class ConfigBase:
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @classmethod
+    def from_yaml(cls, path: str | Path):
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class DataConfig(ConfigBase):
+    """Dataset-scale constants (reference: models/matrix_factorization/config.yaml:8-9)."""
+
+    n_aids: int = 1_855_604
+    n_sessions: int = 14_571_582
+    # Last-train-week session-id cutoff used for local validation
+    # (reference: src/validation.py:61).
+    validation_session_cutoff: int = 11_098_528
+    # First test-session id (reference: src/recbole/dataset.py:14-20).
+    test_session_cutoff: int = 12_899_779
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class MeshConfig(ConfigBase):
+    """Device-mesh layout. The reference has no distributed layer (SURVEY §2.10);
+    this is the TPU-native communication backend: named mesh axes lowered by XLA
+    onto ICI collectives."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1: infer from device count / model_parallel
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class SGNSConfig(ConfigBase):
+    """Skip-gram negative-sampling aid embeddings — the TPU replacement for
+    fastText (models/fasttext/config.yaml: skipgram, dim 32, ws 10, neg 40,
+    loss ns, lr .05, epoch 5) and gensim Word2Vec (models/word2vec/config.yaml:
+    window 12, negative 40, ns_exponent .75, sample .003)."""
+
+    dim: int = 32
+    window: int = 10
+    negatives: int = 40
+    epochs: int = 5
+    learning_rate: float = 0.05
+    min_learning_rate: float = 1e-4
+    ns_exponent: float = 0.75
+    subsample_t: float = 1e-4  # frequent-aid downsampling threshold (fastText `t`)
+    batch_centers: int = 8192  # center positions per optimizer step
+    seed: int = 42
+    table_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MFConfig(ConfigBase):
+    """Matrix factorization: session table x aid table dot product, MSE loss
+    (reference: src/matrix_factorization/torch_modules.py:23-38 +
+    models/matrix_factorization/config.yaml)."""
+
+    n_sessions: int = 14_571_582
+    n_aids: int = 1_855_604
+    n_factors: int = 32
+    dropout: float = 0.0
+    loss: str = "mse"
+    learning_rate: float = 0.05
+    batch_size: int = 262_144
+    epochs: int = 250
+    early_stopping_patience: int = 20
+    lr_decay_steps: int = 5000
+    lr_decay_rate: float = 0.5
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class CFConfig(ConfigBase):
+    """Collaborative filtering: one shared aid table, score = dot(e[x1], e[x2]),
+    BCE-with-logits loss (reference: src/matrix_factorization/torch_modules.py:4-20 +
+    models/aid_collaborative_filtering/config.yaml)."""
+
+    n_aids: int = 1_855_604
+    n_factors: int = 32
+    dropout: float = 0.0
+    loss: str = "bce"
+    learning_rate: float = 5e-4
+    batch_size: int = 262_144
+    epochs: int = 250
+    early_stopping_patience: int = 20
+    lr_decay_steps: int = 7500
+    lr_decay_rate: float = 0.5
+    # Pair-dataset sampling strategy: 'diff' (positives = next aid, negatives =
+    # in-session shuffle) or 'time' (label = 0 < dt <= hour_difference)
+    # (reference: src/matrix_factorization/torch_trainer.py:198-255).
+    sampling_strategy: str = "diff"
+    hour_difference: int = 1
+    seed: int = 42
+
+
+COVISIT_KINDS = (
+    "time_weighted",
+    "click_weighted",
+    "cart_weighted",
+    "order_weighted",
+    "click_cart",
+    "click_order",
+    "cart_order",
+)
+
+
+@dataclass(frozen=True)
+class CovisitConfig(ConfigBase):
+    """Covisitation-matrix construction. The reference only *consumes*
+    precomputed shards (src/covisitation/inference.py:87-112); this framework
+    builds all seven kinds on device (see otto_tpu.models.covisitation)."""
+
+    kinds: Sequence[str] = COVISIT_KINDS
+    top_k_wide: int = 50  # per-aid neighbor rows kept for candidate generation ("top_*")
+    top_k_narrow: int = 15  # per-aid rows for the heuristic recommender ("top_15_*")
+    window_seconds: int = 24 * 60 * 60  # pair time window |ts_a - ts_b|
+    max_span: int = 64  # max forward positions paired per event (bounded context)
+    session_tail: int = 30  # most recent events per session considered
+    # Event-type weights applied to the *target* event of a pair.
+    click_weight: float = 1.0
+    cart_weight: float = 6.0
+    order_weight: float = 3.0
+    accumulator_capacity: int = 64 * 1024 * 1024  # running (key, weight) rows on device
+
+
+@dataclass(frozen=True)
+class RankerConfig(ConfigBase):
+    """Dense scoring tower replacing the LightGBM/XGBoost lambdarank rerankers
+    (reference: src/ranker/lgb_trainer.py + models/lightgbm/config.yaml).
+
+    The fold / sampling semantics mirror the reference: 5-fold GroupKFold by
+    session, negative sampling ratio 0.30 restricted to positive-bearing
+    sessions (lgb_trainer.py:81-133), per-fold OOF recall@20."""
+
+    hidden_dims: Sequence[int] = (256, 256, 128)
+    dropout: float = 0.1
+    loss: str = "lambdarank"  # or 'listwise_softmax', 'bce'
+    n_folds: int = 5
+    negative_sampling_ratio: float = 0.30
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    batch_sessions: int = 512  # sessions per step (listwise groups)
+    max_candidates: int = 128  # candidate list width per session (padded)
+    epochs: int = 5
+    early_stopping_patience: int = 200
+    seed: int = 42
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SequenceModelConfig(ConfigBase):
+    """Sequential session encoder (GRU) replacing the RecBole stack
+    (reference: src/recbole/{dataset,trainer,inference}.py)."""
+
+    n_aids: int = 1_855_604
+    dim: int = 64
+    hidden: int = 128
+    max_len: int = 20  # RecBole pads item lists to length 20 (recbole/inference.py:63-68)
+    batch_size: int = 2048
+    learning_rate: float = 1e-3
+    epochs: int = 3
+    n_negatives: int = 512
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class PipelineConfig(ConfigBase):
+    """End-to-end two-stage pipeline configuration."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    covisit: CovisitConfig = field(default_factory=CovisitConfig)
+    sgns: SGNSConfig = field(default_factory=SGNSConfig)
+    ranker: RankerConfig = field(default_factory=RankerConfig)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        return cls(
+            data=DataConfig.from_dict(d.get("data", {})),
+            mesh=MeshConfig.from_dict(d.get("mesh", {})),
+            covisit=CovisitConfig.from_dict(d.get("covisit", {})),
+            sgns=SGNSConfig.from_dict(d.get("sgns", {})),
+            ranker=RankerConfig.from_dict(d.get("ranker", {})),
+        )
