@@ -1,0 +1,74 @@
+"""Frequency/recency baseline tests, including reference-oracle parity for the
+prediction construction and an end-to-end validation run on synthetic data."""
+
+from collections import Counter
+
+import numpy as np
+
+from otto_tpu import EVENT_TYPES
+from otto_tpu.data import splits, synthetic_events
+from otto_tpu.eval import evaluate_predictions
+from otto_tpu.models.frequency import (
+    FrequencyStatistics,
+    aid_counts,
+    aid_frequency_predictions,
+)
+from otto_tpu.models.recency import aid_weight_predictions
+
+
+def test_aid_counts_matches_bincount(small_events):
+    n_aids = 500
+    got = np.asarray(aid_counts(small_events.aid, n_aids))
+    expected = np.bincount(small_events.aid, minlength=n_aids)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_frequency_statistics_roundtrip(small_events, tmp_path):
+    stats = FrequencyStatistics.compute(small_events, n_aids=500, k=20)
+    # top-20 global equals numpy ranking (ties: any consistent order ok on counts)
+    counts = np.bincount(small_events.aid, minlength=500)
+    np.testing.assert_array_equal(np.sort(counts[stats.top_all])[::-1], np.sort(counts)[::-1][:20])
+    stats.save(tmp_path, prefix="train")
+    loaded = FrequencyStatistics.load(tmp_path, prefix="train")
+    np.testing.assert_array_equal(loaded.top_all, stats.top_all)
+    for name in EVENT_TYPES:
+        np.testing.assert_array_equal(loaded.top_by_type[name], stats.top_by_type[name])
+
+
+def test_aid_frequency_prediction_semantics(small_events):
+    stats = FrequencyStatistics.compute(small_events, n_aids=500, k=20)
+    L = int(small_events.lengths.max())
+    packed = small_events.pack(max_len=L, keep="first")
+    preds = aid_frequency_predictions(packed, stats)
+    for s in range(min(50, small_events.n_sessions)):
+        lo, hi = small_events.offsets[s], small_events.offsets[s + 1]
+        session_aids = list(Counter(small_events.aid[lo:hi].tolist()).keys())[:20]
+        for name in EVENT_TYPES:
+            expected = session_aids + stats.top_by_type[name][: 20 - len(session_aids)].tolist()
+            got = [int(a) for a in preds[name][s] if a >= 0]
+            assert got == expected
+
+
+def test_end_to_end_baselines_beat_nothing():
+    es = synthetic_events(n_sessions=1500, n_aids=800, mean_length=10, seed=21)
+    sp = splits.split_by_fraction(es, val_fraction=0.3)
+    stats = FrequencyStatistics.compute(sp.train, n_aids=800, k=20)
+    L = int(sp.val_input.lengths.max())
+    packed = sp.val_input.pack(max_len=L, keep="last")
+
+    freq_preds = aid_frequency_predictions(packed, stats)
+    freq_report = evaluate_predictions(
+        sp.val_labels, freq_preds["clicks"], freq_preds["carts"], freq_preds["orders"]
+    )
+    weight_preds = aid_weight_predictions(packed)
+    weight_report = evaluate_predictions(
+        sp.val_labels,
+        weight_preds["clicks"],
+        weight_preds["carts"],
+        weight_preds["orders"],
+    )
+    # Both baselines must recover signal on clustered synthetic data.
+    assert freq_report.weighted > 0.02
+    assert weight_report.weighted > 0.02
+    assert 0 < freq_report.clicks <= 1
+    assert 0 < weight_report.clicks <= 1
