@@ -1,0 +1,162 @@
+"""Covisitation-matrix construction kernels.
+
+The reference *consumes* seven kinds of precomputed covisitation matrices from
+parquet shards (src/covisitation/inference.py:87-112,
+src/ranker/regular_candidate_generation.py:75-101) but never builds them —
+construction happened outside the repo.  Here construction is a first-class
+on-device pipeline over the packed event arrays:
+
+1. :func:`pair_stream` — for a chunk of sessions packed ``[S, T]``, emit every
+   ordered within-session pair (i != j) inside the kind's time window as an
+   ``(aid_x, aid_y)`` int32 key pair with one weight column per kind (invalid
+   pairs get a sentinel key).  Pure VPU compare/select math on static shapes.
+2. :func:`sort_reduce` — lexsort the key stream with its weight payloads and
+   run-length-sum duplicate keys (XLA's on-device sort; a segment-sum over the
+   sorted runs).  Keys stay as int32 pairs — TPUs have no native int64 and
+   x64 mode is off.
+3. chunks are merged across the session axis by the host-side accumulator in
+   :mod:`otto_tpu.models.covisitation`, and the final per-``aid_x`` top-k rows
+   are extracted with :func:`topk_per_source`.
+
+Kind semantics (a design decision of this framework — the reference's matrix
+definitions are not in its repo; names follow its seven kinds):
+
+==============  =========================  ==============================  ======
+kind            source event               target event weight             window
+==============  =========================  ==============================  ======
+time_weighted   any                        1 + 3*(ts-t0)/(t1-t0)           1 day
+click_weighted  click                      type_mult[type_y]               1 day
+cart_weighted   click|cart                 type_mult[type_y]               1 day
+order_weighted  cart|order                 type_mult[type_y]               1 day
+click_cart      click                      1.0 if target is cart           1 day
+click_order    click                       1.0 if target is order          1 day
+cart_order      cart|order                 1.0 if target is cart|order     14 days
+==============  =========================  ==============================  ======
+
+with ``type_mult = (click_weight, cart_weight, order_weight)`` from
+:class:`otto_tpu.config.CovisitConfig` (defaults 1/6/3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otto_tpu.config import COVISIT_KINDS
+from otto_tpu.ops.scan import run_totals
+
+DAY = 24 * 60 * 60
+
+
+@partial(jax.jit, static_argnames=("n_aids",))
+def pair_stream(
+    aids: jax.Array,  # int32 [S, T]
+    types: jax.Array,  # int8  [S, T]
+    rel_ts: jax.Array,  # int32 [S, T] timestamps relative to global t0
+    mask: jax.Array,  # bool  [S, T]
+    n_aids: int,
+    t_span: jax.Array,  # scalar float32: global (t1 - t0), for time weighting
+    type_mult: jax.Array,  # float32 [3]
+    window_short: jax.Array,  # scalar int32 (default 1 day)
+    window_long: jax.Array,  # scalar int32 (default 14 days, cart_order)
+):
+    """Emit all ordered within-session pairs with per-kind weights.
+
+    Returns (key_x int32 [P], key_y int32 [P], weights float32 [P, 7]) with
+    P = S*T*T; invalid pairs have key_x == n_aids (sentinel) and zero weights.
+    """
+    S, T = aids.shape
+    ax = aids[:, :, None]  # source i
+    ay = aids[:, None, :]  # target j
+    tx = types[:, :, None].astype(jnp.int32)
+    ty = types[:, None, :].astype(jnp.int32)
+    dt = jnp.abs(rel_ts[:, :, None] - rel_ts[:, None, :])
+
+    not_self = ~jnp.eye(T, dtype=bool)[None]
+    valid = mask[:, :, None] & mask[:, None, :] & not_self & (ax != ay)
+    in_short = valid & (dt <= window_short)
+    in_long = valid & (dt <= window_long)
+
+    denom = jnp.maximum(t_span, 1.0)
+    time_w = 1.0 + 3.0 * rel_ts[:, None, :].astype(jnp.float32) / denom
+    tm = type_mult[ty]
+
+    w = jnp.stack(
+        [
+            jnp.where(in_short, time_w, 0.0),  # time_weighted
+            jnp.where(in_short & (tx == 0), tm, 0.0),  # click_weighted
+            jnp.where(in_short & (tx <= 1), tm, 0.0),  # cart_weighted
+            jnp.where(in_short & (tx >= 1), tm, 0.0),  # order_weighted
+            jnp.where(in_short & (tx == 0) & (ty == 1), 1.0, 0.0),  # click_cart
+            jnp.where(in_short & (tx == 0) & (ty == 2), 1.0, 0.0),  # click_order
+            jnp.where(in_long & (tx >= 1) & (ty >= 1), 1.0, 0.0),  # cart_order
+        ],
+        axis=-1,
+    )  # [S, T, T, 7]
+
+    any_w = jnp.any(w > 0, axis=-1)
+    kx = jnp.where(any_w, jnp.broadcast_to(ax, (S, T, T)), jnp.int32(n_aids))
+    ky = jnp.where(any_w, jnp.broadcast_to(ay, (S, T, T)), jnp.int32(0))
+    return kx.reshape(-1), ky.reshape(-1), w.reshape(-1, len(COVISIT_KINDS))
+
+
+@jax.jit
+def sort_reduce(key_x: jax.Array, key_y: jax.Array, weights: jax.Array):
+    """Lexsort (key_x, key_y) with weight payloads and sum over equal-key runs.
+
+    Returns (sx, sy int32 [P], run_totals float32 [P, 7], head bool [P]); live
+    aggregated entries are rows with ``head`` set (sentinel rows excluded).
+    """
+    order = jnp.lexsort((key_y, key_x))
+    sx = key_x[order]
+    sy = key_y[order]
+    sw = weights[order]
+    same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1])
+    head = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    run_total = run_totals(sw, head[:, None], axis=0)
+    # sentinel rows carry zero weight in every kind, so the weight test alone
+    # filters them
+    live = head & jnp.any(run_total > 0, axis=1)
+    return sx, sy, run_total, live
+
+
+def topk_per_source(
+    aid_x: np.ndarray, aid_y: np.ndarray, weights: np.ndarray, n_aids: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side final extraction: per-``aid_x`` top-k targets by
+    (weight desc, aid_y asc).  Returns (table_aids int32 [n_aids, k] padded -1,
+    table_weights float32 [n_aids, k])."""
+    live = (weights > 0) & (aid_x < n_aids)
+    aid_x = aid_x[live].astype(np.int64)
+    aid_y = aid_y[live].astype(np.int32)
+    weights = weights[live].astype(np.float64)
+    order = np.lexsort((aid_y, -weights, aid_x))
+    aid_x, aid_y, weights = aid_x[order], aid_y[order], weights[order]
+    group_start = np.concatenate([[True], aid_x[1:] != aid_x[:-1]])
+    start_idx = np.maximum.accumulate(np.where(group_start, np.arange(len(aid_x)), 0))
+    rank = np.arange(len(aid_x)) - start_idx
+    keep = rank < k
+    table = np.full((n_aids, k), -1, dtype=np.int32)
+    wtable = np.zeros((n_aids, k), dtype=np.float32)
+    table[aid_x[keep], rank[keep]] = aid_y[keep]
+    wtable[aid_x[keep], rank[keep]] = weights[keep]
+    return table, wtable
+
+
+def merge_sorted_chunks(
+    keys_list: list[np.ndarray], weights_list: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side accumulator merge: concatenate per-chunk aggregated
+    (packed int64 key, weight-row) arrays and re-reduce by key."""
+    keys = np.concatenate(keys_list)
+    weights = np.concatenate(weights_list, axis=0)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    weights = weights[order]
+    head = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(head)
+    summed = np.add.reduceat(weights, starts, axis=0)
+    return keys[starts], summed
