@@ -120,3 +120,201 @@ def build_covisitation(
             continue
         tables[kind] = topk_per_source(aid_x, aid_y, weights[:, i], n_aids, config.top_k_wide)
     return CovisitationMatrices(tables=tables, n_aids=n_aids)
+
+
+# ---------------------------------------------------------------------------
+# Heuristic recommender (reference: src/covisitation/inference.py validation/
+# submission bodies).  Sessions with >= 20 distinct aids are scored by typed
+# log-recency weights plus neighbor bonuses ("recency_weight" route,
+# inference.py:128-133,143-199); the rest are scored by covisitation voting
+# ("covisitation" route, :204-247).  Both routes are batched device kernels;
+# the routing itself is a host partition so each branch only processes its own
+# sessions.
+# ---------------------------------------------------------------------------
+
+import jax
+
+from otto_tpu import EVENT_TYPES, TOP_K
+from otto_tpu.ops.multiset import (
+    compact_rows,
+    concat_unique_cascade,
+    gather_neighbors,
+    mask_members,
+    row_weight_topk,
+    sorted_unique_rows,
+)
+from otto_tpu.ops.sessions import distinct_recent_first, recency_weights
+
+# event-type coefficients for the recency route (covisitation/inference.py:72)
+RECENCY_TYPE_COEFF = (1.0, 9.0, 6.0)
+FT_BONUS = {"clicks": 0.05, "carts": 0.05, "orders": 0.15}
+COVISIT_BONUS = {"clicks": 0.05, "carts": 0.05, "orders": 0.15}
+
+
+def session_unique_counts(store: EventStore) -> np.ndarray:
+    """Exact distinct-aid count per session (vectorized host-side)."""
+    order = np.lexsort((store.aid, store.session_idx))
+    s = store.session_idx[order]
+    a = store.aid[order]
+    head = np.concatenate([[True], (s[1:] != s[:-1]) | (a[1:] != a[:-1])])
+    return np.bincount(s[head], minlength=store.n_sessions).astype(np.int32)
+
+
+def _concat_cols(*arrays):
+    return jnp.concatenate(arrays, axis=1)
+
+
+def _covisit_route(
+    aids, types, mask, tables, stats_top, uniq_cap: int, narrow_k: int, k: int
+):
+    """Batched covisitation-vote route for one chunk of sessions.
+
+    List concatenation order matches the reference exactly (it sets the
+    Counter tie-break): time + click_w + cart_w + click_cart + cart_order +
+    fasttext for clicks; time + cart_w + cart_order + fasttext for carts and
+    orders (inference.py:215-236).  The fasttext neighbor list arrives via
+    ``tables['fasttext']`` when an embedding model is attached.
+    """
+    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
+    cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
+
+    g_time = gather_neighbors(tables["time_weighted"][:, :narrow_k], uniq_recent)
+    g_clickw = gather_neighbors(tables["click_weighted"][:, :narrow_k], clickcart)
+    g_cartw = gather_neighbors(tables["cart_weighted"][:, :narrow_k], clickcart)
+    g_clickcart = gather_neighbors(tables["click_cart"][:, :narrow_k], clickcart)
+    g_cartorder = gather_neighbors(tables["cart_order"][:, :narrow_k], clickcart)
+    fts = tables.get("fasttext")
+    ft_list = (
+        gather_neighbors(fts, aids[:, -1:])
+        if fts is not None
+        else jnp.full((aids.shape[0], 0), -1, jnp.int32)
+    )
+
+    lists = {
+        "clicks": _concat_cols(g_time, g_clickw, g_cartw, g_clickcart, g_cartorder, ft_list),
+        "carts": _concat_cols(g_time, g_cartw, g_cartorder, ft_list),
+        "orders": _concat_cols(g_time, g_cartw, g_cartorder, ft_list),
+    }
+    out = {}
+    for etype in EVENT_TYPES:
+        vals = lists[etype]
+        top, _ = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k)
+        filtered = compact_rows(mask_members(top, uniq_recent))
+        out[etype] = concat_unique_cascade(
+            uniq_recent[:, :k], filtered, jnp.asarray(stats_top[etype][:k]), k
+        )
+    return out
+
+
+def _recency_route(
+    aids, types, mask, lengths, tables, uniq_cap: int, narrow_k: int, k: int
+):
+    """Batched typed-recency route (inference.py:143-199): per-type log-recency
+    weights x coefficients {1,9,6}, +bonus votes from fastText neighbors of the
+    last aid and one covisitation table per type."""
+    S, L = aids.shape
+    clipped = jnp.sum(mask, axis=1)
+    offset = (lengths - clipped)[:, None].astype(jnp.float32)
+    col = jnp.arange(L, dtype=jnp.float32)[None, :]
+    true_pos = offset + col
+    coeff = jnp.asarray(RECENCY_TYPE_COEFF, jnp.float32)[types]
+
+    click_uniq = sorted_unique_rows(jnp.where(types == 0, aids, -1), mask, uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
+    cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
+
+    fts = tables.get("fasttext")
+    ft_list = (
+        gather_neighbors(fts, aids[:, -1:])
+        if fts is not None
+        else jnp.full((S, 0), -1, jnp.int32)
+    )
+
+    bonus_lists = {
+        "clicks": gather_neighbors(tables["time_weighted"][:, :narrow_k], click_uniq),
+        "carts": gather_neighbors(tables["cart_weighted"][:, :narrow_k], clickcart),
+        "orders": gather_neighbors(tables["cart_order"][:, :narrow_k], cartorder),
+    }
+    lo = {"clicks": 0.1, "carts": 0.5, "orders": 0.5}
+
+    out = {}
+    for etype in EVENT_TYPES:
+        w_events = recency_weights(lengths, true_pos, mask, lo=lo[etype], hi=1.0) * coeff
+        ft_w = jnp.full(ft_list.shape, FT_BONUS[etype], jnp.float32)
+        bl = bonus_lists[etype]
+        bl_w = jnp.full(bl.shape, COVISIT_BONUS[etype], jnp.float32)
+        vals = _concat_cols(aids, ft_list, bl)
+        ws = _concat_cols(w_events, ft_w, bl_w)
+        valid = _concat_cols(mask, ft_list >= 0, bl >= 0)
+        top, _ = row_weight_topk(vals, ws, valid, k)
+        out[etype] = top
+    return out
+
+
+def covisit_heuristic_predictions(
+    store: EventStore,
+    matrices: CovisitationMatrices,
+    stats_top: dict[str, np.ndarray],
+    ft_neighbors: np.ndarray | None = None,
+    narrow_k: int = 15,
+    k: int = TOP_K,
+    max_len: int = 256,
+    unique_cap: int = 64,
+    chunk_sessions: int = 2048,
+) -> dict[str, np.ndarray]:
+    """Full heuristic recommender over all sessions of ``store``.
+
+    stats_top: per-type global top-20 aids (frequency fill).
+    ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
+    embedding model (replaces the reference's Annoy index; neighbors must
+    already exclude the query aid itself)."""
+    counts = session_unique_counts(store)
+    packed = store.pack(max_len=max_len, keep="last")
+    S = store.n_sessions
+
+    tables = {kind: jnp.asarray(t[0]) for kind, t in matrices.tables.items()}
+    if ft_neighbors is not None:
+        tables["fasttext"] = jnp.asarray(ft_neighbors)
+
+    preds = {etype: np.full((S, k), -1, np.int32) for etype in EVENT_TYPES}
+
+    def run_route(route_fn, idx, extra):
+        for start in range(0, len(idx), chunk_sessions):
+            sel = idx[start : start + chunk_sessions]
+            pad = chunk_sessions - len(sel)
+            sel_p = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
+            res = route_fn(
+                jnp.asarray(packed.aids[sel_p]),
+                jnp.asarray(packed.types[sel_p]),
+                jnp.asarray(packed.mask[sel_p]) if pad == 0 else jnp.asarray(
+                    np.concatenate([packed.mask[sel], np.zeros((pad, packed.max_len), bool)])
+                ),
+                *extra(sel_p),
+            )
+            for etype in EVENT_TYPES:
+                preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
+
+    cov_idx = np.flatnonzero(counts < 20)
+    rec_idx = np.flatnonzero(counts >= 20)
+    log.info(
+        "heuristic routing: %d covisitation, %d recency-weight sessions",
+        len(cov_idx),
+        len(rec_idx),
+    )
+
+    if len(cov_idx):
+        run_route(
+            lambda a, t, m: _covisit_route(a, t, m, tables, stats_top, unique_cap, narrow_k, k),
+            cov_idx,
+            lambda sel: (),
+        )
+    if len(rec_idx):
+        run_route(
+            lambda a, t, m, lens: _recency_route(
+                a, t, m, lens, tables, unique_cap, narrow_k, k
+            ),
+            rec_idx,
+            lambda sel: (jnp.asarray(packed.lengths[sel]),),
+        )
+    return preds

@@ -129,3 +129,34 @@ def concat_unique_cascade(primary: jax.Array, secondary: jax.Array, filler: jax.
 
     out = jnp.where(use_p, from_p, jnp.where(use_q, from_q, from_f))
     return out.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("u",))
+def sorted_unique_rows(values: jax.Array, valid: jax.Array, u: int):
+    """Per-row ascending unique values (``np.unique`` semantics, reference's
+    typed aid subsets — src/covisitation/inference.py:148-151), padded with -1
+    to width ``u``."""
+    S, M = values.shape
+    big = jnp.int32(2147483647)
+    v = jnp.where(valid & (values >= 0), values, big)
+    sv = jnp.sort(v, axis=1)
+    head = jnp.concatenate([jnp.ones((S, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
+    keep = head & (sv < big)
+    out = jnp.where(keep, sv, big)
+    out = jnp.sort(out, axis=1)[:, :u]
+    return jnp.where(out < big, out, -1).astype(jnp.int32)
+
+
+@jax.jit
+def gather_neighbors(table: jax.Array, queries: jax.Array) -> jax.Array:
+    """Gather neighbor rows for per-session query aids.
+
+    table: int32 [n_aids, K] padded -1; queries: int32 [S, U] padded -1.
+    Returns int32 [S, U*K]: table[q] flattened per row, -1 where the query was
+    padding.  Replaces the reference's per-aid dict lookups + list chaining
+    (``itertools.chain(*[covisit[aid] for aid in ...])``)."""
+    S, U = queries.shape
+    safe_q = jnp.clip(queries, 0, table.shape[0] - 1)
+    rows = table[safe_q]  # [S, U, K]
+    rows = jnp.where((queries >= 0)[:, :, None], rows, -1)
+    return rows.reshape(S, U * table.shape[1])
