@@ -1,0 +1,315 @@
+"""Candidate generation for the two-stage ranker (reference L6a).
+
+Four generators mirroring src/ranker/:
+
+- :func:`regular_candidates` — the production generator
+  (regular_candidate_generation.py:138-197): session unique aids
+  (recency-ordered, scores = descending ranks) + covisitation-vote top-100
+  (vote counts as scores) + embedding kNN of the last aid, with binary labels
+  and a max-recall ceiling report.
+- :func:`covisit_candidates` — covisitation votes only
+  (covisitation_candidate_generation.py:108-157).
+- :func:`recency_candidates` — session-history-only recency weights with
+  type coefficients {click:1, cart:6, order:1}
+  (recency_weighted_candidate_generator.py:24,61-105).
+- :func:`embedding_candidates` — kNN of the last session aid with distances
+  as scores (fasttext_candidate_generator.py:36-48).
+
+Candidates are fixed-shape ``[S, C]`` padded arrays (no exploded pickles);
+:meth:`CandidateSet.flatten` recovers the reference's flat
+(session, candidate, score, label) layout when needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otto_tpu import EVENT_TYPES, TOP_K
+from otto_tpu.data.events import EventStore
+from otto_tpu.data.labels import SessionLabels
+from otto_tpu.eval.metrics import corpus_recall_at_k, weighted_recall
+from otto_tpu.logging_utils import get_logger
+from otto_tpu.models.covisitation import CovisitationMatrices
+from otto_tpu.ops.multiset import (
+    gather_neighbors,
+    mask_members,
+    row_weight_topk,
+    sorted_unique_rows,
+)
+from otto_tpu.ops.sessions import distinct_recent_first, recency_weighted_top_aids
+
+log = get_logger(__name__)
+
+RECENCY_CANDGEN_COEFF = (1.0, 6.0, 1.0)
+
+
+@dataclass
+class CandidateSet:
+    """Per-event-type candidate lists for a batch of sessions."""
+
+    session_ids: np.ndarray  # [S]
+    candidates: dict[str, np.ndarray]  # etype -> int32 [S, C] padded -1
+    scores: dict[str, np.ndarray]  # etype -> float32 [S, C]
+    labels: dict[str, np.ndarray] | None = None  # etype -> int8 [S, C]
+
+    @property
+    def n_sessions(self) -> int:
+        return len(self.session_ids)
+
+    def width(self, etype: str) -> int:
+        return self.candidates[etype].shape[1]
+
+    def flatten(self, etype: str):
+        """Reference-style flat arrays (session, candidate, score[, label])."""
+        cands = self.candidates[etype]
+        valid = cands >= 0
+        sess = np.repeat(self.session_ids, valid.sum(axis=1))
+        flat_c = cands[valid]
+        flat_s = self.scores[etype][valid]
+        if self.labels is not None:
+            return sess, flat_c, flat_s, self.labels[etype][valid]
+        return sess, flat_c, flat_s
+
+    def max_recall_report(self, labels: SessionLabels) -> dict[str, float]:
+        """Candidate max-recall ceiling (corpus-level, clip-20 denominator) —
+        the bound any reranker can achieve
+        (regular_candidate_generation.py:203-223)."""
+        out = {}
+        for etype in EVENT_TYPES:
+            r = corpus_recall_at_k(
+                jnp.asarray(self.candidates[etype]), jnp.asarray(labels.padded(etype)), k=TOP_K
+            )
+            out[etype] = float(r)
+        out["weighted"] = weighted_recall(out["clicks"], out["carts"], out["orders"])
+        log.info(
+            "candidate max recalls: clicks %.6f carts %.6f orders %.6f weighted %.6f",
+            out["clicks"], out["carts"], out["orders"], out["weighted"],
+        )
+        return out
+
+
+@jax.jit
+def _compact_two(values: jax.Array, scores: jax.Array):
+    """Left-compact (value, score) pairs where value >= 0, preserving order."""
+    S, K = values.shape
+    invalid = (values < 0).astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (S, K))
+    order = jnp.lexsort((pos, invalid), axis=-1)
+    v = jnp.take_along_axis(values, order, axis=1)
+    s = jnp.take_along_axis(scores, order, axis=1)
+    return v, jnp.where(v >= 0, s, 0.0)
+
+
+@jax.jit
+def _attach_labels(candidates: jax.Array, click_label: jax.Array, cart_padded: jax.Array, order_padded: jax.Array):
+    click = (candidates == click_label[:, None]) & (candidates >= 0)
+    cart = jnp.any(
+        (candidates[:, :, None] == cart_padded[:, None, :]) & (cart_padded >= 0)[:, None, :],
+        axis=2,
+    )
+    order = jnp.any(
+        (candidates[:, :, None] == order_padded[:, None, :]) & (order_padded >= 0)[:, None, :],
+        axis=2,
+    )
+    return click.astype(jnp.int8), cart.astype(jnp.int8), order.astype(jnp.int8)
+
+
+def _label_dict(cand_dict, labels: SessionLabels):
+    cart_p = jnp.asarray(labels.padded("carts"))
+    order_p = jnp.asarray(labels.padded("orders"))
+    click = jnp.asarray(labels.click)
+    out = {}
+    for etype in EVENT_TYPES:
+        cl, ca, orr = _attach_labels(jnp.asarray(cand_dict[etype]), click, cart_p, order_p)
+        out[etype] = np.asarray({"clicks": cl, "carts": ca, "orders": orr}[etype])
+    return out
+
+
+@partial(jax.jit, static_argnames=("uniq_cap", "wide_k", "k_covisit", "with_ft"))
+def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit, with_ft):
+    """One chunk of the regular generator: returns per-type (candidates,
+    scores) of width uniq_cap + k_covisit."""
+    (t_time, t_clickw, t_cartw, t_clickcart, t_cartorder) = tables_tuple
+    S = aids.shape[0]
+    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
+
+    g_time = gather_neighbors(t_time[:, :wide_k], uniq_recent)
+    g_clickw = gather_neighbors(t_clickw[:, :wide_k], clickcart)
+    g_cartw = gather_neighbors(t_cartw[:, :wide_k], clickcart)
+    g_clickcart = gather_neighbors(t_clickcart[:, :wide_k], clickcart)
+    g_cartorder = gather_neighbors(t_cartorder[:, :wide_k], clickcart)
+    if with_ft:
+        ft_list = gather_neighbors(ft_table, aids[:, -1:])
+    else:
+        ft_list = jnp.full((S, 0), -1, jnp.int32)
+
+    lists = {
+        "clicks": jnp.concatenate(
+            [g_time, g_clickw, g_cartw, g_clickcart, g_cartorder, ft_list], axis=1
+        ),
+        "carts": jnp.concatenate([g_time, g_cartw, g_cartorder, ft_list], axis=1),
+        "orders": jnp.concatenate([g_time, g_cartw, g_cartorder, ft_list], axis=1),
+    }
+
+    # history scores: descending ranks n..1 over the (capped) unique list
+    n_uniq = jnp.sum(uniq_recent >= 0, axis=1)
+    col = jnp.arange(uniq_cap, dtype=jnp.float32)[None, :]
+    hist_scores = jnp.where(uniq_recent >= 0, n_uniq[:, None].astype(jnp.float32) - col, 0.0)
+
+    out = {}
+    for etype in EVENT_TYPES:
+        vals = lists[etype]
+        top, votes = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k_covisit)
+        filt, filt_scores = _compact_two(mask_members(top, uniq_recent), votes)
+        cands = jnp.concatenate([uniq_recent, filt], axis=1)
+        scores = jnp.concatenate([hist_scores, filt_scores], axis=1)
+        out[etype] = (cands, scores)
+    return out
+
+
+def _chunked(packed, fn, S, chunk):
+    outs = None
+    for start in range(0, S, chunk):
+        sel = np.arange(start, min(start + chunk, S))
+        pad = chunk - len(sel)
+        idx = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
+        mask = packed.mask[idx]
+        if pad:
+            mask = mask.copy()
+            mask[len(sel):] = False
+        res = fn(
+            jnp.asarray(packed.aids[idx]),
+            jnp.asarray(packed.types[idx]),
+            jnp.asarray(mask),
+            jnp.asarray(packed.lengths[idx]),
+        )
+        if outs is None:
+            outs = {k: ([], []) for k in res}
+        for k, (c, s) in res.items():
+            outs[k][0].append(np.asarray(c)[: len(sel)])
+            outs[k][1].append(np.asarray(s)[: len(sel)])
+    return {k: (np.concatenate(cs), np.concatenate(ss)) for k, (cs, ss) in outs.items()}
+
+
+def regular_candidates(
+    store: EventStore,
+    matrices: CovisitationMatrices,
+    ft_neighbors: np.ndarray | None = None,
+    labels: SessionLabels | None = None,
+    uniq_cap: int = 64,
+    wide_k: int = 50,
+    k_covisit: int = 100,
+    max_len: int = 256,
+    chunk_sessions: int = 2048,
+) -> CandidateSet:
+    """The production candidate generator."""
+    packed = store.pack(max_len=max_len, keep="last")
+    tt = tuple(
+        jnp.asarray(matrices.tables[k][0])
+        for k in ("time_weighted", "click_weighted", "cart_weighted", "click_cart", "cart_order")
+    )
+    with_ft = ft_neighbors is not None
+    ft = jnp.asarray(ft_neighbors) if with_ft else jnp.zeros((1, 1), jnp.int32)
+
+    res = _chunked(
+        packed,
+        lambda a, t, m, lens: _regular_chunk(a, t, m, tt, ft, uniq_cap, wide_k, k_covisit, with_ft),
+        store.n_sessions,
+        chunk_sessions,
+    )
+    cands = {k: v[0] for k, v in res.items()}
+    scores = {k: v[1] for k, v in res.items()}
+    lab = _label_dict(cands, labels) if labels is not None else None
+    cs = CandidateSet(store.session_ids.copy(), cands, scores, lab)
+    if labels is not None:
+        cs.max_recall_report(labels)
+    return cs
+
+
+def recency_candidates(
+    store: EventStore,
+    labels: SessionLabels | None = None,
+    uniq_cap: int = 64,
+    max_len: int = 256,
+    chunk_sessions: int = 4096,
+) -> CandidateSet:
+    """Session-history-only recency-weighted candidates."""
+    packed = store.pack(max_len=max_len, keep="last")
+    coeff = jnp.asarray(RECENCY_CANDGEN_COEFF, jnp.float32)
+    lo = {"clicks": 0.1, "carts": 0.5, "orders": 0.5}
+
+    def fn(a, t, m, lens):
+        out = {}
+        for etype in EVENT_TYPES:
+            c, w = recency_weighted_top_aids(a, t, m, lens, coeff, k=uniq_cap, lo=lo[etype], hi=1.0)
+            out[etype] = (c, jnp.where(c >= 0, w, 0.0))
+        return out
+
+    res = _chunked(packed, fn, store.n_sessions, chunk_sessions)
+    cands = {k: v[0] for k, v in res.items()}
+    scores = {k: v[1] for k, v in res.items()}
+    lab = _label_dict(cands, labels) if labels is not None else None
+    cs = CandidateSet(store.session_ids.copy(), cands, scores, lab)
+    if labels is not None:
+        cs.max_recall_report(labels)
+    return cs
+
+
+def covisit_candidates(
+    store: EventStore,
+    matrices: CovisitationMatrices,
+    labels: SessionLabels | None = None,
+    uniq_cap: int = 64,
+    wide_k: int = 15,
+    k_covisit: int = 100,
+    max_len: int = 256,
+    chunk_sessions: int = 2048,
+) -> CandidateSet:
+    """Covisitation-votes-only candidates (no history, no embeddings)."""
+    packed = store.pack(max_len=max_len, keep="last")
+    tt = tuple(
+        jnp.asarray(matrices.tables[k][0])
+        for k in ("time_weighted", "click_weighted", "cart_weighted", "click_cart", "cart_order")
+    )
+
+    def fn(a, t, m, lens):
+        res = _regular_chunk(
+            a, t, m, tt, jnp.zeros((1, 1), jnp.int32), uniq_cap, wide_k, k_covisit, False
+        )
+        # drop the history prefix: keep only the covisitation block
+        return {k: (c[:, uniq_cap:], s[:, uniq_cap:]) for k, (c, s) in res.items()}
+
+    res = _chunked(packed, fn, store.n_sessions, chunk_sessions)
+    cands = {k: v[0] for k, v in res.items()}
+    scores = {k: v[1] for k, v in res.items()}
+    lab = _label_dict(cands, labels) if labels is not None else None
+    cs = CandidateSet(store.session_ids.copy(), cands, scores, lab)
+    if labels is not None:
+        cs.max_recall_report(labels)
+    return cs
+
+
+def embedding_candidates(
+    store: EventStore,
+    ft_neighbors: np.ndarray,
+    ft_scores: np.ndarray,
+    labels: SessionLabels | None = None,
+) -> CandidateSet:
+    """kNN-of-last-aid candidates with similarity scores
+    (fasttext_candidate_generator.py:75-98)."""
+    last = store.last_aid()
+    cands_row = ft_neighbors[last].astype(np.int32)
+    scores_row = ft_scores[last].astype(np.float32)
+    cands = {etype: cands_row for etype in EVENT_TYPES}
+    scores = {etype: scores_row for etype in EVENT_TYPES}
+    lab = _label_dict(cands, labels) if labels is not None else None
+    cs = CandidateSet(store.session_ids.copy(), cands, scores, lab)
+    if labels is not None:
+        cs.max_recall_report(labels)
+    return cs
