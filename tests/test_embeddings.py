@@ -1,0 +1,73 @@
+"""SGNS embedding trainer tests: pair generation vs oracle, and learned
+structure on clustered synthetic data."""
+
+import numpy as np
+
+from otto_tpu.config import SGNSConfig
+from otto_tpu.data.events import EventStore
+from otto_tpu.data.synthetic import synthetic_events  # noqa: F401
+from otto_tpu.models.embeddings import SGNSModel, skipgram_pairs, train_sgns
+
+
+def test_skipgram_pairs_within_window_and_session():
+    session = np.array([1, 1, 1, 2, 2])
+    aid = np.array([10, 11, 12, 20, 21])
+    ts = np.arange(5)
+    typ = np.zeros(5, np.int8)
+    es = EventStore.from_flat(session, aid, ts, typ)
+    rng = np.random.default_rng(0)
+    c, x = skipgram_pairs(es, window=2, rng=rng)
+    pairs = set(zip(c.tolist(), x.tolist()))
+    # never across sessions
+    for a, b in pairs:
+        assert (a < 20) == (b < 20)
+    # all pairs are within distance 2 in the same session
+    pos = {10: 0, 11: 1, 12: 2, 20: 0, 21: 1}
+    for a, b in pairs:
+        assert abs(pos[a] - pos[b]) <= 2
+    assert len(pairs) > 0
+
+
+def test_skipgram_no_self_pairs():
+    session = np.ones(6, np.int64)
+    aid = np.array([7, 7, 8, 7, 9, 8])
+    es = EventStore.from_flat(session, aid, np.arange(6), np.zeros(6, np.int8))
+    rng = np.random.default_rng(1)
+    c, x = skipgram_pairs(es, window=3, rng=rng)
+    assert np.all(c != x)
+
+
+def test_sgns_learns_cluster_structure(tmp_path):
+    """On a corpus with pure block structure (sessions confined to aid
+    clusters), within-cluster euclidean distances must collapse well below
+    cross-cluster ones.  Euclidean is the retrieval metric downstream,
+    matching the reference's Annoy index."""
+    rng = np.random.default_rng(0)
+    S, L, n_clusters, per = 2000, 10, 4, 10
+    n_aids = n_clusters * per
+    sess = np.repeat(np.arange(S), L)
+    clus = rng.integers(0, n_clusters, S)
+    aid = (np.repeat(clus, L) * per + rng.integers(0, per, S * L)).astype(np.int64)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SGNSConfig(dim=8, window=4, negatives=5, epochs=15, batch_centers=8192, subsample_t=0)
+    model = train_sgns(es, n_aids=n_aids, config=cfg)
+    emb = model.embeddings
+
+    din, dout = [], []
+    for a in range(n_aids):
+        for b in range(a + 1, n_aids):
+            d = np.linalg.norm(emb[a] - emb[b])
+            (din if a // per == b // per else dout).append(d)
+    assert np.mean(din) < 0.6 * np.mean(dout), (np.mean(din), np.mean(dout))
+
+    # round trip
+    model.save(tmp_path / "sgns.npz")
+    loaded = SGNSModel.load(tmp_path / "sgns.npz", cfg)
+    np.testing.assert_array_equal(loaded.w_in, model.w_in)
+
+    # neighbor table: top neighbor is in the same cluster for most aids
+    table = model.neighbor_table(k=5, query_batch=64, block=128)
+    assert table.shape == (n_aids, 5)
+    same_cluster = np.mean(table[:, 0] // per == np.arange(n_aids) // per)
+    assert same_cluster > 0.9

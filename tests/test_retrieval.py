@@ -1,0 +1,61 @@
+"""Retrieval (Annoy replacement) tests vs numpy brute force."""
+
+import numpy as np
+import pytest
+
+from otto_tpu.ops.retrieval import build_neighbor_table, topk_scan
+
+
+@pytest.mark.parametrize("metric", ["dot", "euclidean"])
+def test_topk_scan_matches_bruteforce(metric):
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(1000, 32)).astype(np.float32)
+    q = rng.normal(size=(17, 32)).astype(np.float32)
+    s, i = topk_scan(q, items, k=10, block=128, metric=metric)
+    s, i = np.asarray(s), np.asarray(i)
+    if metric == "dot":
+        full = q @ items.T
+    else:
+        full = 2 * q @ items.T - np.sum(items**2, axis=1)[None, :]
+    exp_i = np.argsort(-full, axis=1, kind="stable")[:, :10]
+    # scores must match exactly; indices may differ only on exact ties
+    np.testing.assert_allclose(s, np.take_along_axis(full, exp_i, axis=1), rtol=1e-4, atol=1e-5)
+    same = (i == exp_i).mean()
+    assert same > 0.99
+
+
+def test_topk_scan_block_bigger_than_n():
+    rng = np.random.default_rng(1)
+    items = rng.normal(size=(37, 8)).astype(np.float32)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    s, i = topk_scan(q, items, k=5, block=64, metric="dot")
+    full = q @ items.T
+    exp_i = np.argsort(-full, axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(s), np.take_along_axis(full, exp_i, axis=1), rtol=1e-4, atol=1e-5)
+    assert np.asarray(i).max() < 37
+
+
+def test_neighbor_table_excludes_self():
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    table = build_neighbor_table(emb, k=5, metric="euclidean", query_batch=64, block=128)
+    assert table.shape == (300, 5)
+    for r in range(300):
+        assert r not in table[r]
+    # euclidean nearest neighbor check on a few rows
+    for r in range(0, 300, 37):
+        d = np.sum((emb - emb[r]) ** 2, axis=1)
+        d[r] = np.inf
+        assert table[r, 0] == np.argmin(d)
+
+
+def test_neighbor_table_with_scores():
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(100, 8)).astype(np.float32)
+    table, scores = build_neighbor_table(
+        emb, k=4, metric="dot", exclude_self=False, query_batch=32, block=64, scores_out=True
+    )
+    full = emb @ emb.T
+    for r in range(0, 100, 11):
+        exp = np.sort(full[r])[::-1][:4]
+        np.testing.assert_allclose(scores[r], exp, rtol=1e-5)
