@@ -1,0 +1,48 @@
+"""Data-parallel training for the ranking tower.
+
+Parameters are replicated; the session batch is sharded over the ``data``
+mesh axis; gradients are ``psum``-averaged over ICI.  This is the
+data-parallelism the reference lacks entirely (SURVEY §2.10: no DDP)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from otto_tpu.models.ranker import LOSSES, tower_forward
+
+
+def make_dp_ranker_step(mesh: Mesh, optimizer, loss_name: str = "lambdarank",
+                        dropout: float = 0.0, data_axis: str = "data"):
+    """Returns a jitted step(params, opt_state, x [B,C,F], y, m, key)."""
+    loss_fn = LOSSES[loss_name]
+
+    def step(params, opt_state, x, y, m, key):
+        def local(params, opt_state, x, y, m, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+
+            def f(p):
+                scores = tower_forward(p, x, dropout_rate=dropout, key=key)
+                return loss_fn(scores, y, m)
+
+            loss, grads = jax.value_and_grad(f)(params)
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis), P(data_axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, opt_state, x, y, m, key)
+
+    return jax.jit(step, donate_argnums=(0, 1))

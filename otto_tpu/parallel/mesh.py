@@ -1,0 +1,65 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no distributed layer at all (SURVEY §2.10: single GPU, no
+NCCL/MPI; scale-out faked with file chunking).  This module is the TPU-native
+communication backend it lacked: a named ``jax.sharding.Mesh`` over ICI with
+``('data', 'model')`` axes; collectives are expressed with ``shard_map`` +
+``psum``/``all_gather`` and lowered by XLA onto the interconnect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from otto_tpu.config import MeshConfig
+
+
+def make_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(config.model_parallel, 1)
+    dp = config.data_parallel if config.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} does not match {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (config.data_axis, config.model_axis))
+
+
+def init_distributed() -> None:
+    """Multi-host process-group init (jax.distributed over DCN).  No-op when
+    running single-process (the common case in tests and on one host)."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized by the launcher
+        jax.distributed.initialize()
+    except Exception:  # single-process / unsupported platform
+        pass
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Shard the leading (row) dimension across ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_rows(mesh: Mesh, array, axis: str = "model"):
+    """Place an array row-sharded on the mesh (pads rows to a multiple of the
+    axis size; callers must track the true row count)."""
+    import jax.numpy as jnp
+
+    n = array.shape[0]
+    size = mesh.shape[axis]
+    pad = (-n) % size
+    if pad:
+        array = jnp.concatenate([jnp.asarray(array), jnp.zeros((pad, *array.shape[1:]), array.dtype)])
+    return jax.device_put(jnp.asarray(array), row_sharded(mesh, axis))

@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from otto_tpu.config import MeshConfig
+from otto_tpu.parallel.data_parallel import make_dp_ranker_step
+from otto_tpu.parallel.mesh import make_mesh, shard_rows
+from otto_tpu.parallel.sharded_embedding import (
+    make_sharded_sgns_step,
+    sharded_lookup,
+    sharded_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    assert len(jax.devices()) == 8
+    return make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+
+
+def test_mesh_shapes(mesh_2x4):
+    assert mesh_2x4.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_lookup_matches_gather(mesh_2x4):
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(103, 16)).astype(np.float32)
+    sharded = shard_rows(mesh_2x4, table)  # pads to 104
+    idx = rng.integers(0, 103, size=64).astype(np.int32)
+    out = sharded_lookup(mesh_2x4, sharded, jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out), table[idx], rtol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["dot", "euclidean"])
+def test_sharded_topk_matches_single_device(mesh_2x4, metric):
+    rng = np.random.default_rng(1)
+    items = rng.normal(size=(200, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    sharded = shard_rows(mesh_2x4, items)
+    s, i = sharded_topk(mesh_2x4, jnp.asarray(q), sharded, k=7, metric=metric)
+    s, i = np.asarray(s), np.asarray(i)
+    # brute force over the padded table (pad rows, if any, are zero vectors
+    # and are legitimate top-k entries when real scores are worse)
+    n_pad = (-200) % mesh_2x4.shape["model"]
+    padded = np.zeros((200 + n_pad, 16), np.float32)
+    padded[:200] = items
+    if metric == "dot":
+        full = q @ padded.T
+    else:
+        full = 2 * q @ padded.T - np.sum(padded**2, axis=1)[None, :]
+    exp_s = np.sort(full, axis=1)[:, ::-1][:, :7]
+    np.testing.assert_allclose(s, exp_s, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sgns_step_runs_and_learns(mesh_2x4):
+    rng = np.random.default_rng(2)
+    N, D = 64, 8
+    w_in = shard_rows(mesh_2x4, rng.uniform(-0.1, 0.1, (N, D)).astype(np.float32))
+    w_out = shard_rows(mesh_2x4, np.zeros((N, D), np.float32))
+    acc_in = shard_rows(mesh_2x4, np.zeros((N, D), np.float32))
+    acc_out = shard_rows(mesh_2x4, np.zeros((N, D), np.float32))
+    step = make_sharded_sgns_step(mesh_2x4, n_negatives=4)
+    B = 32
+    c = jnp.asarray(np.tile(np.array([1, 2], np.int32), B // 2))
+    x = jnp.asarray(np.tile(np.array([3, 4], np.int32), B // 2))
+    negs = jnp.asarray(rng.integers(10, 60, (B, 4)).astype(np.int32))
+    losses = []
+    for _ in range(30):
+        w_in, w_out, acc_in, acc_out, loss = step(
+            w_in, w_out, acc_in, acc_out, c, x, negs, jnp.float32(0.1)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    w_in_np = np.asarray(w_in)
+    w_out_np = np.asarray(w_out)
+    assert w_in_np[1] @ w_out_np[3] > 0.1  # positive pair aligned
+
+
+def test_dp_ranker_step_matches_single_device():
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    rng = np.random.default_rng(3)
+    B, C, F = 16, 8, 4
+    x = rng.normal(size=(B, C, F)).astype(np.float32)
+    y = (rng.random((B, C)) < 0.3).astype(np.int8)
+    m = np.ones((B, C), bool)
+
+    from otto_tpu.models.ranker import init_tower, LOSSES, tower_forward
+
+    params = init_tower(jax.random.PRNGKey(0), F, (8,))
+    optimizer = optax.sgd(0.1)
+    opt_state = optimizer.init(params)
+    # single-device reference step first (the dp step donates its params)
+    def f(p):
+        return LOSSES["bce"](tower_forward(p, jnp.asarray(x)), jnp.asarray(y), jnp.asarray(m))
+
+    loss_ref, grads = jax.value_and_grad(f)(params)
+    updates, _ = optimizer.update(grads, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    step = make_dp_ranker_step(mesh, optimizer, loss_name="bce", dropout=0.0)
+    p2, _, loss_dp = step(params, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(m),
+                          jax.random.PRNGKey(1))
+    # dp loss = mean over shards of per-shard means; equals global mean when
+    # shards are equal-sized
+    assert float(loss_dp) == pytest.approx(float(loss_ref), rel=1e-5)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p_ref[k]), rtol=2e-4, atol=1e-6)
