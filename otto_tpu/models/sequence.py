@@ -1,0 +1,188 @@
+"""Sequential session recommender — the RecBole-stack replacement
+(reference: src/recbole/{dataset,trainer,inference}.py).
+
+A GRU encoder over the session's last ``max_len`` aids (RecBole pads item
+lists to 20, recbole/inference.py:63-68) with tied item embeddings and a
+sampled-softmax next-item objective.  Inference is ``full_sort_predict``
+semantics: encode the session, score all items with one matmul through the
+exact top-k scan (recbole/inference.py:74-84's full_sort + topk), excluding
+the PAD position.  The 3-way serving routing (>=20 unique aids -> recency;
+else model; unknown last aid -> embedding kNN fallback,
+recbole/inference.py:137-148) lives in the serving pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from otto_tpu.config import SequenceModelConfig
+from otto_tpu.data.events import EventStore
+from otto_tpu.logging_utils import get_logger
+from otto_tpu.ops.retrieval import topk_scan
+
+log = get_logger(__name__)
+
+
+def init_params(key, n_aids: int, dim: int, hidden: int) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    scale = 0.05
+    return {
+        "item_emb": jax.random.normal(k1, (n_aids + 1, dim)) * scale,  # +1 PAD row
+        "gru_wx": jax.random.normal(k2, (dim, 3 * hidden)) * np.sqrt(1.0 / dim),
+        "gru_wh": jax.random.normal(k3, (hidden, 3 * hidden)) * np.sqrt(1.0 / hidden),
+        "gru_b": jnp.zeros((3 * hidden,)),
+        "out_proj": jax.random.normal(k4, (hidden, dim)) * np.sqrt(1.0 / hidden),
+    }
+
+
+def _gru_cell(params, h, x):
+    gates = x @ params["gru_wx"] + h @ params["gru_wh"] + params["gru_b"]
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(gates[..., :H])
+    z = jax.nn.sigmoid(gates[..., H : 2 * H])
+    n = jnp.tanh(x @ params["gru_wx"][:, 2 * H :] + (r * h) @ params["gru_wh"][:, 2 * H :]
+                 + params["gru_b"][2 * H :])
+    return (1 - z) * h + z * n
+
+
+def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """seq: int32 [B, L] (PAD = n_aids); returns session vectors [B, dim]."""
+    emb = params["item_emb"][seq]  # [B, L, D]
+    B = seq.shape[0]
+    H = params["gru_wh"].shape[0]
+
+    def step(h, inp):
+        x, m = inp
+        h_new = _gru_cell(params, h, x)
+        h = jnp.where(m[:, None], h_new, h)
+        return h, None
+
+    h0 = jnp.zeros((B, H))
+    h, _ = jax.lax.scan(step, h0, (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    return h @ params["out_proj"]
+
+
+@dataclass
+class SequenceModel:
+    params: dict
+    config: SequenceModelConfig
+    history: list = field(default_factory=list)
+
+    def encode_sessions(self, store: EventStore, batch: int = 4096) -> np.ndarray:
+        cfg = self.config
+        packed = store.pack(max_len=cfg.max_len, keep="last")
+        seq = np.where(packed.mask, packed.aids, cfg.n_aids).astype(np.int32)
+        out = np.zeros((store.n_sessions, cfg.dim), np.float32)
+        enc = jax.jit(lambda s, m: encode(self.params, s, m))
+        for start in range(0, store.n_sessions, batch):
+            end = min(start + batch, store.n_sessions)
+            s = seq[start:end]
+            m = packed.mask[start:end]
+            pad = batch - (end - start)
+            if pad:
+                s = np.concatenate([s, np.full((pad, cfg.max_len), cfg.n_aids, np.int32)])
+                m = np.concatenate([m, np.zeros((pad, cfg.max_len), bool)])
+            out[start:end] = np.asarray(enc(jnp.asarray(s), jnp.asarray(m)))[: end - start]
+        return out
+
+    def full_sort_topk(self, store: EventStore, k: int = 20, batch: int = 4096) -> np.ndarray:
+        """Top-k items for every session (recbole full_sort_predict + topk,
+        PAD row excluded)."""
+        vecs = self.encode_sessions(store, batch=batch)
+        items = jnp.asarray(np.asarray(self.params["item_emb"])[: self.config.n_aids])
+        out = np.zeros((store.n_sessions, k), np.int32)
+        for start in range(0, store.n_sessions, batch):
+            end = min(start + batch, store.n_sessions)
+            _, i = topk_scan(jnp.asarray(vecs[start:end]), items, k=k, block=16384, metric="dot")
+            out[start:end] = np.asarray(i)
+        return out
+
+    def save(self, path):
+        np.savez_compressed(path, **{k: np.asarray(v) for k, v in self.params.items()})
+
+    @classmethod
+    def load(cls, path, config: SequenceModelConfig):
+        z = np.load(path)
+        return cls({k: jnp.asarray(z[k]) for k in z.files}, config)
+
+
+def _training_examples(store: EventStore, max_len: int, n_aids: int):
+    """(prefix sequence, next aid) pairs: one example per event with >= 1
+    predecessor, prefix clipped to the last max_len events."""
+    pos = store.position_in_session
+    valid = pos > 0
+    tgt_idx = np.flatnonzero(valid)
+    n = len(tgt_idx)
+    seqs = np.full((n, max_len), n_aids, np.int32)
+    masks = np.zeros((n, max_len), bool)
+    # vectorized prefix extraction: for each target event at flat index i with
+    # in-session position p, the prefix is events [i-p, i) clipped to max_len
+    p = pos[tgt_idx]
+    take = np.minimum(p, max_len)
+    for j in range(max_len):  # bounded by max_len (20), vectorized over n
+        src = tgt_idx - take + j
+        ok = j < take
+        seqs[ok, j] = store.aid[src[ok]]
+        masks[ok, j] = True
+    targets = store.aid[tgt_idx].astype(np.int32)
+    return seqs, masks, targets
+
+
+def train_sequence_model(
+    store: EventStore, config: SequenceModelConfig = SequenceModelConfig()
+) -> SequenceModel:
+    rng = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+    key, init_key = jax.random.split(key)
+    params = init_params(init_key, config.n_aids, config.dim, config.hidden)
+    optimizer = optax.adam(config.learning_rate)
+    opt_state = optimizer.init(params)
+
+    seqs, masks, targets = _training_examples(store, config.max_len, config.n_aids)
+    log.info("sequence model: %d training examples", len(targets))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, seq, mask, tgt, negs):
+        def loss_fn(p):
+            h = encode(p, seq, mask)  # [B, D]
+            pos_e = p["item_emb"][tgt]
+            neg_e = p["item_emb"][negs]  # [B, Neg, D]
+            pos_logit = jnp.sum(h * pos_e, axis=1)
+            neg_logit = jnp.einsum("bd,bnd->bn", h, neg_e)
+            # sampled softmax (one positive vs sampled negatives)
+            logits = jnp.concatenate([pos_logit[:, None], neg_logit], axis=1)
+            return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    B = config.batch_size
+    history = []
+    n = len(targets)
+    for epoch in range(config.epochs):
+        order = rng.permutation(n)
+        losses = []
+        for i in range(max(n // B, 1)):
+            sel = order[i * B : (i + 1) * B]
+            if len(sel) < B:
+                sel = np.concatenate([sel, sel[: B - len(sel)]])
+            negs = rng.integers(0, config.n_aids, (B, config.n_negatives)).astype(np.int32)
+            params, opt_state, loss = step(
+                params,
+                opt_state,
+                jnp.asarray(seqs[sel]),
+                jnp.asarray(masks[sel]),
+                jnp.asarray(targets[sel]),
+                jnp.asarray(negs),
+            )
+            losses.append(float(loss))
+        history.append({"epoch": epoch, "loss": float(np.mean(losses))})
+        log.info("sequence epoch %d: loss %.4f", epoch, np.mean(losses))
+    return SequenceModel(params, config, history)

@@ -1,0 +1,58 @@
+"""Sequential recommender tests: example construction + next-item learning on
+a deterministic-transition corpus."""
+
+import numpy as np
+
+from otto_tpu.config import SequenceModelConfig
+from otto_tpu.data.events import EventStore
+from otto_tpu.models.sequence import SequenceModel, _training_examples, train_sequence_model
+
+
+def test_training_examples_prefixes():
+    session = np.array([1, 1, 1, 2, 2])
+    aid = np.array([10, 11, 12, 20, 21])
+    es = EventStore.from_flat(session, aid, np.arange(5), np.zeros(5, np.int8))
+    seqs, masks, targets = _training_examples(es, max_len=3, n_aids=100)
+    # examples: ([10]->11), ([10,11]->12), ([20]->21)
+    assert len(targets) == 3
+    rows = {tuple(seqs[i][masks[i]].tolist()): int(targets[i]) for i in range(3)}
+    assert rows[(10,)] == 11
+    assert rows[(10, 11)] == 12
+    assert rows[(20,)] == 21
+
+
+def test_training_examples_clip():
+    session = np.ones(10, np.int64)
+    aid = np.arange(10)
+    es = EventStore.from_flat(session, aid, np.arange(10), np.zeros(10, np.int8))
+    seqs, masks, targets = _training_examples(es, max_len=4, n_aids=100)
+    # target 9's prefix is the last 4 predecessors [5,6,7,8]
+    i = int(np.flatnonzero(targets == 9)[0])
+    assert seqs[i][masks[i]].tolist() == [5, 6, 7, 8]
+
+
+def test_sequence_model_learns_deterministic_transitions(tmp_path):
+    # Markov chain: aid i is always followed by (i+1) % 20
+    rng = np.random.default_rng(0)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=32, max_len=5, batch_size=1024,
+                              epochs=20, n_negatives=10, learning_rate=5e-3)
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+
+    # predict next for held-out sessions: top-1 should be (last + 1) % N often
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+
+    model.save(tmp_path / "seq.npz")
+    loaded = SequenceModel.load(tmp_path / "seq.npz", cfg)
+    top2 = loaded.full_sort_topk(test, k=3)
+    np.testing.assert_array_equal(top, top2)
