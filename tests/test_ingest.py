@@ -1,0 +1,84 @@
+"""JSONL ingest tests: native parser vs python fallback vs expected content."""
+
+import json
+
+import numpy as np
+import pytest
+
+from otto_tpu.data.ingest import _parse_native, _parse_python, read_jsonl
+
+
+@pytest.fixture
+def jsonl_file(tmp_path):
+    rows = [
+        {"session": 10, "events": [
+            {"aid": 100, "ts": 1661724000123, "type": "clicks"},
+            {"aid": 200, "ts": 1661724060456, "type": "carts"},
+        ]},
+        {"session": 11, "events": [
+            {"aid": 300, "ts": 1661724120789, "type": "orders"},
+        ]},
+        {"session": 12, "events": []},
+    ]
+    p = tmp_path / "events.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return p
+
+
+def test_python_parser(jsonl_file):
+    session, aid, ts, typ = _parse_python(jsonl_file)
+    np.testing.assert_array_equal(session, [10, 10, 11])
+    np.testing.assert_array_equal(aid, [100, 200, 300])
+    np.testing.assert_array_equal(typ, [0, 1, 2])
+    assert ts[0] == 1661724000123
+
+
+def test_native_parser_matches_python(jsonl_file):
+    native = _parse_native(jsonl_file)
+    assert native is not None, "native parser failed to build"
+    py = _parse_python(jsonl_file)
+    for a, b in zip(native, py):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_parser_key_order_robust(tmp_path):
+    p = tmp_path / "reordered.jsonl"
+    with open(p, "w") as f:
+        f.write('{"events": [{"ts": 5000, "type": "carts", "aid": 7}], "session": 3}\n')
+    native = _parse_native(p)
+    assert native is not None
+    session, aid, ts, typ = native
+    assert list(session) == [3]
+    assert list(aid) == [7]
+    assert list(ts) == [5000]
+    assert list(typ) == [1]
+
+
+def test_read_jsonl_store(jsonl_file):
+    es = read_jsonl(jsonl_file, ts_unit="ms")
+    assert es.n_events == 3
+    assert es.n_sessions == 2  # empty session dropped
+    assert es.ts[0] == 1661724000  # ms -> s
+
+
+def test_native_parser_scales(tmp_path):
+    rng = np.random.default_rng(0)
+    p = tmp_path / "big.jsonl"
+    n_sessions = 2000
+    expected_events = 0
+    with open(p, "w") as f:
+        for s in range(n_sessions):
+            n = int(rng.integers(1, 20))
+            events = [
+                {"aid": int(rng.integers(0, 10000)), "ts": int(1e12 + i), "type": ["clicks", "carts", "orders"][int(rng.integers(0, 3))]}
+                for i in range(n)
+            ]
+            expected_events += n
+            f.write(json.dumps({"session": s, "events": events}) + "\n")
+    native = _parse_native(p)
+    py = _parse_python(p)
+    assert len(native[0]) == expected_events
+    for a, b in zip(native, py):
+        np.testing.assert_array_equal(a, b)

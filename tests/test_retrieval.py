@@ -59,3 +59,25 @@ def test_neighbor_table_with_scores():
     for r in range(0, 100, 11):
         exp = np.sort(full[r])[::-1][:4]
         np.testing.assert_allclose(scores[r], exp, rtol=1e-5)
+
+
+def test_topk_approx_matches_exact_on_small():
+    from otto_tpu.ops.retrieval import topk_approx
+
+    rng = np.random.default_rng(5)
+    items = rng.normal(size=(2000, 16)).astype(np.float32)
+    q = rng.normal(size=(33, 16)).astype(np.float32)
+    s_a, i_a = topk_approx(q, items, k=10, tile=16, metric="euclidean",
+                           recall_target=0.999)
+    s_e, i_e = topk_scan(q, items, k=10, block=512, metric="euclidean")
+    # overlap of returned neighbor sets must be near-perfect
+    overlap = np.mean([
+        len(set(np.asarray(i_a)[r]) & set(np.asarray(i_e)[r])) / 10 for r in range(33)
+    ])
+    assert overlap > 0.95
+    # returned scores are exact scores of returned indices
+    full = 2 * q @ items.T - np.sum(items**2, axis=1)[None, :]
+    ia = np.asarray(i_a)
+    np.testing.assert_allclose(
+        np.asarray(s_a), np.take_along_axis(full, ia, axis=1), rtol=1e-4, atol=1e-4
+    )
