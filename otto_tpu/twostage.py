@@ -1,0 +1,205 @@
+"""The two-stage production pipeline as one engine call.
+
+Replaces the reference's four chained CLI processes (SURVEY §3.4):
+regular candidate generation -> aid/session/interaction feature engineering ->
+GBDT rankers per event type -> ensemble blend, which communicated through
+pickle files.  Here the stages pass arrays in memory:
+
+1. covisitation matrices (+ optional SGNS embeddings) are built from train
+   events
+2. the regular candidate generator emits [S, C] candidates/scores/labels
+3. the three feature families assemble the [S, C, 54] tensor
+4. one listwise tower per event type trains with the reference's fold /
+   negative-sampling protocol and produces fold-averaged scores
+5. per-type scores blend (robust-scaled) into final top-20 predictions,
+   evaluated with the weighted recall@20 harness
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from otto_tpu import EVENT_TYPES, TOP_K
+from otto_tpu.config import CovisitConfig, RankerConfig, SGNSConfig
+from otto_tpu.data.events import EventStore
+from otto_tpu.data.labels import SessionLabels
+from otto_tpu.eval.harness import RecallReport, evaluate_predictions
+from otto_tpu.eval.metrics import corpus_recall_at_k
+from otto_tpu.features import (
+    RANKER_FEATURES,
+    assemble_features,
+    compute_aid_features,
+    compute_interaction_features,
+    compute_session_features,
+)
+from otto_tpu.logging_utils import get_logger
+from otto_tpu.models.candidates import CandidateSet, regular_candidates
+from otto_tpu.models.covisitation import CovisitationMatrices, build_covisitation
+from otto_tpu.models.embeddings import SGNSModel, train_sgns
+from otto_tpu.models.ranker import RankerData, RankerModel, top_k_predictions, train_ranker
+
+log = get_logger(__name__)
+
+
+@dataclass
+class TwoStageArtifacts:
+    matrices: CovisitationMatrices
+    sgns: SGNSModel | None
+    candidates: CandidateSet
+    rankers: dict[str, RankerModel]
+    predictions: dict[str, np.ndarray]  # etype -> [S, 20]
+    report: RecallReport | None
+    max_recall: dict[str, float] = field(default_factory=dict)
+
+
+def _recall_eval_fn(labels: SessionLabels, candidates: np.ndarray, etype: str):
+    """eval_recall callback for train_ranker: corpus recall@20 of the top-20
+    reranked candidates on a subset of sessions."""
+    import jax.numpy as jnp
+
+    padded = labels.padded(etype)
+
+    def eval_recall(session_indices, scores):
+        top = top_k_predictions(candidates[session_indices], scores, k=TOP_K)
+        return float(
+            corpus_recall_at_k(jnp.asarray(top), jnp.asarray(padded[session_indices]), k=TOP_K)
+        )
+
+    return eval_recall
+
+
+def run_two_stage(
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    labels: SessionLabels | None = None,
+    covisit_config: CovisitConfig = CovisitConfig(),
+    ranker_config: RankerConfig = RankerConfig(),
+    sgns_config: SGNSConfig | None = None,
+    feature_list: list[str] = RANKER_FEATURES,
+    ft_k: int = 20,
+    uniq_cap: int = 64,
+    k_covisit: int = 100,
+    matrices: CovisitationMatrices | None = None,
+    sgns: SGNSModel | None = None,
+) -> TwoStageArtifacts:
+    """Train + evaluate (labels given) or predict (labels None) end to end.
+
+    ``train`` supplies statistics (covisitation, embeddings, aid features);
+    ``target`` sessions receive candidates and predictions.
+    """
+    # ---- stage 0: representation models ----------------------------------
+    if matrices is None:
+        log.info("building covisitation matrices over %d events", train.n_events)
+        matrices = build_covisitation(train, n_aids, covisit_config)
+    ft_neighbors = None
+    if sgns_config is not None and sgns is None:
+        log.info("training SGNS embeddings")
+        sgns = train_sgns(train, n_aids, sgns_config)
+    if sgns is not None:
+        ft_neighbors = sgns.neighbor_table(k=ft_k)
+
+    # ---- stage 1: candidates ---------------------------------------------
+    cands = regular_candidates(
+        target,
+        matrices,
+        ft_neighbors=ft_neighbors,
+        labels=labels,
+        uniq_cap=uniq_cap,
+        wide_k=min(covisit_config.top_k_wide, matrices.tables["time_weighted"][0].shape[1]),
+        k_covisit=k_covisit,
+    )
+    max_recall = cands.max_recall_report(labels) if labels is not None else {}
+
+    # ---- stage 2: features ------------------------------------------------
+    # aid/session statistics come from train+target events (the reference
+    # computes them over the full split union, aid_feature_engineering.py:29-38)
+    stats_store = EventStore.from_flat(
+        np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
+        np.concatenate([train.aid, target.aid]),
+        np.concatenate([train.ts, target.ts]),
+        np.concatenate([train.type, target.type]),
+    )
+    aid_feats = compute_aid_features(stats_store, n_aids)
+    sess_feats = compute_session_features(target, aid_feats)
+
+    # ---- stage 3+4: per-type ranker training / prediction -----------------
+    rankers: dict[str, RankerModel] = {}
+    predictions: dict[str, np.ndarray] = {}
+    for etype in EVENT_TYPES:
+        inter = compute_interaction_features(
+            target, cands.candidates[etype], cands.scores[etype], n_aids
+        )
+        X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
+        mask = cands.candidates[etype] >= 0
+        if labels is not None:
+            data = RankerData(
+                features=X,
+                labels=cands.labels[etype],
+                mask=mask,
+                session_ids=target.session_ids,
+                candidates=cands.candidates[etype],
+                feature_names=list(feature_list),
+            )
+            eval_fn = _recall_eval_fn(labels, cands.candidates[etype], etype)
+            model, oof = train_ranker(data, ranker_config, eval_recall=eval_fn)
+            rankers[etype] = model
+            predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
+        else:
+            raise ValueError(
+                "prediction-only mode requires pre-trained rankers; use predict_two_stage"
+            )
+
+    report = None
+    if labels is not None:
+        report = evaluate_predictions(
+            labels, predictions["clicks"], predictions["carts"], predictions["orders"]
+        )
+        log.info("two-stage validation scores\n%s", report)
+
+    return TwoStageArtifacts(
+        matrices=matrices,
+        sgns=sgns,
+        candidates=cands,
+        rankers=rankers,
+        predictions=predictions,
+        report=report,
+        max_recall=max_recall,
+    )
+
+
+def predict_two_stage(
+    artifacts: TwoStageArtifacts,
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    feature_list: list[str] = RANKER_FEATURES,
+    uniq_cap: int = 64,
+    k_covisit: int = 100,
+) -> dict[str, np.ndarray]:
+    """Score new sessions with already-trained artifacts (submission mode)."""
+    ft_neighbors = artifacts.sgns.neighbor_table(k=20) if artifacts.sgns is not None else None
+    cands = regular_candidates(
+        target, artifacts.matrices, ft_neighbors=ft_neighbors,
+        uniq_cap=uniq_cap, k_covisit=k_covisit,
+    )
+    stats_store = EventStore.from_flat(
+        np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
+        np.concatenate([train.aid, target.aid]),
+        np.concatenate([train.ts, target.ts]),
+        np.concatenate([train.type, target.type]),
+    )
+    aid_feats = compute_aid_features(stats_store, n_aids)
+    sess_feats = compute_session_features(target, aid_feats)
+    out = {}
+    for etype in EVENT_TYPES:
+        inter = compute_interaction_features(
+            target, cands.candidates[etype], cands.scores[etype], n_aids
+        )
+        X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
+        mask = cands.candidates[etype] >= 0
+        scores = artifacts.rankers[etype].predict(X, mask)
+        out[etype] = top_k_predictions(cands.candidates[etype], scores, k=TOP_K)
+    return out

@@ -1,0 +1,73 @@
+"""End-to-end two-stage pipeline test on synthetic data.
+
+The pipeline invariant chain (SURVEY §4): candidate max-recall bounds the
+reranked recall; the trained ranker's ordering should beat a random ordering
+of the same candidates; submission-mode prediction runs on unseen sessions.
+"""
+
+import numpy as np
+import pytest
+
+from otto_tpu import EVENT_TYPES
+from otto_tpu.config import CovisitConfig, RankerConfig
+from otto_tpu.data import splits, synthetic_events
+from otto_tpu.eval.harness import evaluate_predictions
+from otto_tpu.models.ranker import top_k_predictions
+from otto_tpu.twostage import predict_two_stage, run_two_stage
+
+
+@pytest.fixture(scope="module")
+def artifacts():
+    es = synthetic_events(n_sessions=1200, n_aids=500, mean_length=12, seed=101)
+    sp = splits.split_by_fraction(es, val_fraction=0.35)
+    cfg_cov = CovisitConfig(top_k_wide=15, session_tail=25)
+    cfg_rank = RankerConfig(hidden_dims=(64, 32), n_folds=3, epochs=6,
+                            batch_sessions=128, learning_rate=3e-3, dropout=0.0,
+                            loss="lambdarank")
+    art = run_two_stage(
+        sp.train, sp.val_input, n_aids=500, labels=sp.val_labels,
+        covisit_config=cfg_cov, ranker_config=cfg_rank,
+        uniq_cap=32, k_covisit=50,
+    )
+    return es, sp, art
+
+
+def test_pipeline_produces_report(artifacts):
+    _, sp, art = artifacts
+    assert art.report is not None
+    assert 0 < art.report.weighted <= 1
+    # ceiling invariant: reranked recall can't beat the candidate ceiling
+    assert art.report.corpus_weighted <= art.max_recall["weighted"] + 1e-9
+    for etype in EVENT_TYPES:
+        assert art.predictions[etype].shape[1] == 20
+
+
+def test_ranker_beats_random_ordering(artifacts):
+    _, sp, art = artifacts
+    rng = np.random.default_rng(0)
+    cands = art.candidates
+    random_preds = {}
+    for etype in EVENT_TYPES:
+        c = cands.candidates[etype]
+        noise = rng.random(c.shape).astype(np.float32)
+        noise[c < 0] = -np.inf
+        random_preds[etype] = top_k_predictions(c, noise, k=20)
+    random_report = evaluate_predictions(
+        sp.val_labels, random_preds["clicks"], random_preds["carts"], random_preds["orders"]
+    )
+    assert art.report.corpus_weighted > random_report.corpus_weighted, (
+        art.report.corpus_weighted, random_report.corpus_weighted,
+    )
+
+
+def test_submission_mode_predicts_unseen(artifacts):
+    es, sp, art = artifacts
+    # new sessions unseen during training
+    fresh = synthetic_events(n_sessions=80, n_aids=500, mean_length=10, seed=202)
+    preds = predict_two_stage(art, sp.train, fresh, n_aids=500, uniq_cap=32, k_covisit=50)
+    for etype in EVENT_TYPES:
+        assert preds[etype].shape == (80, 20)
+        valid = preds[etype][preds[etype] >= 0]
+        assert np.all(valid < 500)
+        # at least some sessions get a full 20 predictions
+        assert (preds[etype] >= 0).sum(axis=1).max() >= 10
