@@ -1,0 +1,89 @@
+"""Checkpoint manager, profiling helpers, seeding, and visualization tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from otto_tpu.utils.checkpoint import CheckpointManager
+from otto_tpu.utils.prng import set_seed
+from otto_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    state = {"params": {"w": np.arange(6.0).reshape(2, 3)}, "step": np.asarray(5)}
+    mgr.save(1, state)
+    mgr.save(2, {"params": {"w": np.ones((2, 3))}, "step": np.asarray(6)})
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(1, template=state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), state["params"]["w"])
+    mgr.close()
+
+
+def test_checkpoint_retention(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    for step in range(4):
+        mgr.save(step, {"x": np.asarray(step)})
+    steps = mgr.all_steps()
+    assert len(steps) <= 2
+    assert steps[-1] == 3
+    mgr.close()
+
+
+def test_step_timer():
+    t = StepTimer(window=3)
+    x = jnp.ones((4,))
+    for _ in range(5):
+        t.start()
+        t.stop(x * 2)
+    assert len(t.times) == 3
+    assert t.mean > 0
+    assert t.rate(100) > 0
+
+
+def test_memory_stats_shape():
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_set_seed_returns_key():
+    key = set_seed(42)
+    assert key.shape == (2,) or key.dtype.name.startswith("key")
+
+
+def test_visualizations_write_files(tmp_path, small_events):
+    from otto_tpu import visualization as viz
+
+    p1 = viz.visualize_learning_curve(
+        [{"epoch": 0, "train_loss": 1.0, "val_loss": 1.1}, {"epoch": 1, "train_loss": 0.5, "val_loss": 0.7}],
+        tmp_path / "curve.png",
+    )
+    assert p1.exists() and p1.stat().st_size > 0
+    p2 = viz.visualize_predictions(np.random.randn(100), np.random.randn(100), tmp_path / "pred.png")
+    assert p2.exists()
+    p3 = viz.visualize_session(small_events, 0, tmp_path / "session.png")
+    assert p3.exists()
+    counts = np.bincount(small_events.aid, minlength=500).astype(float)
+    p4 = viz.visualize_aid_frequencies(counts, tmp_path / "freq.png")
+    assert p4.exists()
+    p5 = viz.visualize_feature_importance({"f1": 0.5, "f2": 0.1}, tmp_path / "imp.png")
+    assert p5.exists()
+
+
+def test_permutation_importance_identifies_signal():
+    from otto_tpu.config import RankerConfig
+    from otto_tpu.models.ranker import RankerData, train_ranker
+    from otto_tpu.visualization import permutation_importance
+
+    rng = np.random.default_rng(0)
+    S, C, F = 200, 8, 4
+    X = rng.normal(size=(S, C, F)).astype(np.float32)
+    y = (X[:, :, 0] > 0.8).astype(np.int8)  # only feature 0 matters
+    m = np.ones((S, C), bool)
+    data = RankerData(X, y, m, np.arange(S), rng.integers(0, 100, (S, C)).astype(np.int32),
+                      [f"f{i}" for i in range(F)])
+    cfg = RankerConfig(hidden_dims=(16,), loss="bce", n_folds=2, epochs=10,
+                       batch_sessions=64, learning_rate=1e-2, dropout=0.0)
+    model, _ = train_ranker(data, cfg)
+    imp = permutation_importance(model, X, y, m, data.feature_names, n_sessions=100)
+    assert imp["f0"] == max(imp.values())
