@@ -201,3 +201,84 @@ def train_sgns(
             epoch + 1, config.epochs, len(c), float(np.mean(losses)) if losses else float("nan"),
         )
     return SGNSModel(np.asarray(w_in), np.asarray(w_out), counts.astype(np.float32), config)
+
+
+# ---------------------------------------------------------------------------
+# Serving: the embedding-kNN recommender (reference:
+# src/gensim_fasttext/inference.py:80-160).  Sessions with >= 20 distinct
+# aids get typed recency-weight scores (coefficients {1,6,3}, exponents
+# 0.1..1); the rest get their ascending-unique session aids padded with kNN
+# neighbors of the last aid.  ``recursive_nns`` (config nns.recursive_nns)
+# walks the neighbor graph instead of taking one row.
+# ---------------------------------------------------------------------------
+
+from otto_tpu import EVENT_TYPES, TOP_K
+
+
+def recursive_neighbors(table: np.ndarray, start_aid: int, n: int,
+                        exclude: set[int]) -> list[int]:
+    """Greedy neighbor-graph walk: repeatedly append the nearest unseen
+    neighbor of the current aid (gensim_fasttext/inference.py:124-141)."""
+    out: list[int] = []
+    current = start_aid
+    seen = set(exclude)
+    seen.add(start_aid)  # the query aid itself is never a neighbor
+    for _ in range(n):
+        advanced = False
+        for cand in table[current]:
+            cand = int(cand)
+            if cand < 0 or cand in seen or cand in out:
+                continue
+            out.append(cand)
+            seen.add(cand)
+            current = cand
+            advanced = True
+            break
+        if not advanced:
+            break
+    return out
+
+
+def embedding_knn_predictions(
+    store,
+    neighbor_table: np.ndarray,
+    k: int = TOP_K,
+    recursive: bool = False,
+) -> dict[str, np.ndarray]:
+    """Full serving path of the embedding model over an EventStore."""
+    import jax.numpy as jnp
+
+    from otto_tpu.models.covisitation import session_unique_counts
+    from otto_tpu.ops.sessions import recency_weighted_top_aids
+
+    counts = session_unique_counts(store)
+    S = store.n_sessions
+    preds = np.full((S, k), -1, np.int32)
+
+    rec_idx = np.flatnonzero(counts >= 20)
+    knn_idx = np.flatnonzero(counts < 20)
+
+    if len(rec_idx):
+        sub = store.select_sessions(rec_idx)
+        packed = sub.pack(max_len=256, keep="last")
+        top, _ = recency_weighted_top_aids(
+            jnp.asarray(packed.aids), jnp.asarray(packed.types), jnp.asarray(packed.mask),
+            jnp.asarray(packed.lengths), jnp.asarray([1.0, 6.0, 3.0], jnp.float32),
+            k=k, lo=0.1, hi=1.0,
+        )
+        preds[rec_idx] = np.asarray(top)
+
+    if len(knn_idx):
+        last = store.last_aid()
+        for s in knn_idx:
+            lo, hi = store.offsets[s], store.offsets[s + 1]
+            uniq = np.unique(store.aid[lo:hi]).tolist()  # ascending, reference :86
+            if recursive:
+                nns = recursive_neighbors(
+                    neighbor_table, int(last[s]), k - len(uniq), set(uniq)
+                )
+            else:
+                nns = [int(a) for a in neighbor_table[int(last[s])] if a >= 0]
+            row = (uniq + nns)[:k]
+            preds[s, : len(row)] = row
+    return {etype: preds for etype in EVENT_TYPES}

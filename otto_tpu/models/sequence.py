@@ -186,3 +186,58 @@ def train_sequence_model(
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
         log.info("sequence epoch %d: loss %.4f", epoch, np.mean(losses))
     return SequenceModel(params, config, history)
+
+
+def sequence_serving_predictions(
+    store: EventStore,
+    model: SequenceModel,
+    trained_aid_mask: np.ndarray | None = None,
+    ft_neighbors: np.ndarray | None = None,
+    k: int = 20,
+) -> dict[str, np.ndarray]:
+    """3-way serving routing (recbole/inference.py:137-148):
+
+    - >= 20 distinct aids -> typed recency weights
+    - last aid seen in training -> GRU full-sort top-k
+    - otherwise -> embedding-kNN fallback of the last aid
+    """
+    import jax.numpy as jnp
+
+    from otto_tpu import EVENT_TYPES
+    from otto_tpu.models.covisitation import session_unique_counts
+    from otto_tpu.ops.sessions import recency_weighted_top_aids
+
+    counts = session_unique_counts(store)
+    last = store.last_aid()
+    S = store.n_sessions
+    in_vocab = (
+        trained_aid_mask[last]
+        if trained_aid_mask is not None
+        else np.ones(S, bool)
+    )
+
+    route_recency = counts >= 20
+    route_model = ~route_recency & in_vocab
+    route_fallback = ~route_recency & ~in_vocab
+
+    preds = np.full((S, k), -1, np.int32)
+    if route_recency.any():
+        idx = np.flatnonzero(route_recency)
+        sub = store.select_sessions(idx)
+        packed = sub.pack(max_len=256, keep="last")
+        top, _ = recency_weighted_top_aids(
+            jnp.asarray(packed.aids), jnp.asarray(packed.types), jnp.asarray(packed.mask),
+            jnp.asarray(packed.lengths), jnp.asarray([1.0, 6.0, 3.0], jnp.float32),
+            k=k, lo=0.1, hi=1.0,
+        )
+        preds[idx] = np.asarray(top)
+    if route_model.any():
+        idx = np.flatnonzero(route_model)
+        sub = store.select_sessions(idx)
+        preds[idx] = model.full_sort_topk(sub, k=k)
+    if route_fallback.any() and ft_neighbors is not None:
+        idx = np.flatnonzero(route_fallback)
+        rows = ft_neighbors[last[idx]][:, :k]
+        w = rows.shape[1]
+        preds[idx, :w] = rows
+    return {etype: preds.copy() for etype in EVENT_TYPES}
