@@ -63,3 +63,15 @@ def shard_rows(mesh: Mesh, array, axis: str = "model"):
     if pad:
         array = jnp.concatenate([jnp.asarray(array), jnp.zeros((pad, *array.shape[1:]), array.dtype)])
     return jax.device_put(jnp.asarray(array), row_sharded(mesh, axis))
+
+
+def host_shard_sessions(n_sessions: int, process_index: int | None = None,
+                        process_count: int | None = None):
+    """Multi-host input sharding: the contiguous session range this host
+    feeds (SURVEY §5.8 — input pipeline keyed by jax.process_index)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = -(-n_sessions // pc)
+    lo = pi * per
+    hi = min(lo + per, n_sessions)
+    return np.arange(lo, hi)

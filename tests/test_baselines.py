@@ -72,3 +72,45 @@ def test_end_to_end_baselines_beat_nothing():
     assert weight_report.weighted > 0.02
     assert 0 < freq_report.clicks <= 1
     assert 0 < weight_report.clicks <= 1
+
+
+def test_writers_roundtrip(tmp_path):
+    from otto_tpu.data.writers import (
+        read_chunked_parquet,
+        truncated_train_store,
+        write_chunked_parquet,
+    )
+
+    es = synthetic_events(n_sessions=250, n_aids=100, seed=33)
+    paths = write_chunked_parquet(es, tmp_path, chunk_sessions=100)
+    assert len(paths) == 3
+    back = read_chunked_parquet(tmp_path)
+    np.testing.assert_array_equal(back.aid, es.aid)
+    np.testing.assert_array_equal(back.session_ids, es.session_ids)
+
+    cutoff = int(es.session_ids[200])
+    trunc = truncated_train_store(es, cutoff, seed=0)
+    # early sessions unchanged; late sessions shortened or equal
+    early = es.sessions_between(hi=cutoff)
+    assert trunc.sessions_between(hi=cutoff).n_events == early.n_events
+    late_orig = es.sessions_between(lo=cutoff)
+    late_trunc = trunc.sessions_between(lo=cutoff)
+    assert late_trunc.n_events < late_orig.n_events
+
+
+def test_cli_covisitation_mode():
+    import subprocess, sys, os
+
+    es = synthetic_events(n_sessions=400, n_aids=300, seed=34)
+    es.to_parquet("/tmp/cli_events.parquet")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # keep the axon sitecustomize out
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "otto_tpu.pipelines", "covisitation", "validation",
+         "--events", "/tmp/cli_events.parquet", "--n-aids", "300",
+         "--val-fraction", "0.3"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "weighted recall@20" in r.stdout

@@ -110,3 +110,12 @@ def test_dp_ranker_step_matches_single_device():
     assert float(loss_dp) == pytest.approx(float(loss_ref), rel=1e-5)
     for k in params:
         np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p_ref[k]), rtol=2e-4, atol=1e-6)
+
+
+def test_host_shard_sessions_partition():
+    from otto_tpu.parallel.mesh import host_shard_sessions
+
+    parts = [host_shard_sessions(103, pi, 4) for pi in range(4)]
+    allidx = np.concatenate(parts)
+    np.testing.assert_array_equal(np.sort(allidx), np.arange(103))
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 26
