@@ -43,6 +43,22 @@ from otto_tpu.models.ranker import RankerData, RankerModel, top_k_predictions, t
 log = get_logger(__name__)
 
 
+def _blend_scores(candidates: np.ndarray, score_mats: list[np.ndarray],
+                  weights: list[float]) -> np.ndarray:
+    """Robust-scaled weighted blend of [S, C] score matrices over the same
+    candidate grid (the in-grid specialization of models/ensemble.blend)."""
+    from otto_tpu.models.ensemble import robust_scale
+
+    valid = candidates >= 0
+    out = np.zeros_like(score_mats[0], dtype=np.float64)
+    for w, s in zip(weights, score_mats):
+        scaled = np.zeros_like(out)
+        finite = valid & np.isfinite(s)
+        scaled[finite] = robust_scale(s[finite].astype(np.float64))
+        out += w * scaled
+    return np.where(valid, out, -np.inf).astype(np.float32)
+
+
 @dataclass
 class TwoStageArtifacts:
     matrices: CovisitationMatrices
@@ -77,6 +93,8 @@ def run_two_stage(
     labels: SessionLabels | None = None,
     covisit_config: CovisitConfig = CovisitConfig(),
     ranker_config: RankerConfig = RankerConfig(),
+    second_ranker_config: RankerConfig | None = None,
+    blend_weights: tuple[float, float] = (0.5, 0.5),
     sgns_config: SGNSConfig | None = None,
     feature_list: list[str] = RANKER_FEATURES,
     ft_k: int = 20,
@@ -146,6 +164,15 @@ def run_two_stage(
             eval_fn = _recall_eval_fn(labels, cands.candidates[etype], etype)
             model, oof = train_ranker(data, ranker_config, eval_recall=eval_fn)
             rankers[etype] = model
+            if second_ranker_config is not None:
+                # the reference blends a LightGBM and an XGBoost reranker
+                # (ranker/inference.py:64-85); here: a second tower with a
+                # different seed/architecture, robust-scaled weighted blend
+                model_b, oof_b = train_ranker(data, second_ranker_config, eval_recall=eval_fn)
+                rankers[f"{etype}_b"] = model_b
+                oof = _blend_scores(
+                    cands.candidates[etype], [oof, oof_b], list(blend_weights)
+                )
             predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
         else:
             raise ValueError(

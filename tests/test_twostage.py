@@ -71,3 +71,21 @@ def test_submission_mode_predicts_unseen(artifacts):
         assert np.all(valid < 500)
         # at least some sessions get a full 20 predictions
         assert (preds[etype] >= 0).sum(axis=1).max() >= 10
+
+
+def test_dual_tower_blend():
+    es = synthetic_events(n_sessions=400, n_aids=300, mean_length=10, seed=303)
+    sp = splits.split_by_fraction(es, val_fraction=0.4)
+    cfg_a = RankerConfig(hidden_dims=(32,), n_folds=2, epochs=3, batch_sessions=64,
+                         dropout=0.0, loss="lambdarank", seed=1)
+    cfg_b = RankerConfig(hidden_dims=(48, 16), n_folds=2, epochs=3, batch_sessions=64,
+                         dropout=0.0, loss="listwise_softmax", seed=2)
+    art = run_two_stage(
+        sp.train, sp.val_input, n_aids=300, labels=sp.val_labels,
+        covisit_config=CovisitConfig(top_k_wide=10, session_tail=20),
+        ranker_config=cfg_a, second_ranker_config=cfg_b,
+        uniq_cap=16, k_covisit=30,
+    )
+    # both towers trained per event type
+    assert "clicks" in art.rankers and "clicks_b" in art.rankers
+    assert art.report is not None and 0 <= art.report.weighted <= 1
