@@ -145,7 +145,13 @@ def train_sgns(
     n_aids: int,
     config: SGNSConfig = SGNSConfig(),
     log_every: int = 200,
+    checkpoint_dir: str | None = None,
+    stop_after_epochs: int | None = None,
 ) -> SGNSModel:
+    """Train; with ``checkpoint_dir`` the full state (tables + adagrad
+    accumulators) is checkpointed per epoch and training resumes from the
+    latest epoch after a crash (SURVEY §5.3/5.4 — the reference restarts
+    from scratch)."""
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
 
@@ -162,11 +168,39 @@ def train_sgns(
     acc_in = jnp.zeros((n_aids, d), jnp.float32)
     acc_out = jnp.zeros((n_aids, d), jnp.float32)
 
+    mgr = None
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        from otto_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir, max_to_keep=2)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(latest)
+            w_in = jnp.asarray(state["w_in"])
+            w_out = jnp.asarray(state["w_out"])
+            acc_in = jnp.asarray(state["acc_in"])
+            acc_out = jnp.asarray(state["acc_out"])
+            key = jnp.asarray(state["key"])
+            start_epoch = latest
+            log.info("sgns: resumed from epoch %d", start_epoch)
+
     # pre-generate one epoch of pairs to size the lr schedule
     total_steps = None
     B = config.batch_centers
     step = 0
-    for epoch in range(config.epochs):
+    if start_epoch:
+        # replay the host RNG so pair sampling continues deterministically,
+        # and advance the lr-schedule step counter
+        for _ in range(start_epoch):
+            c, _x = skipgram_pairs(store, config.window, rng,
+                                   subsample_t=config.subsample_t, counts=counts)
+            rng.permutation(len(c))
+            nb = max(len(c) // B, 1)
+            if total_steps is None:
+                total_steps = nb * config.epochs
+            step += nb
+    for epoch in range(start_epoch, config.epochs):
         c, x = skipgram_pairs(
             store, config.window, rng, subsample_t=config.subsample_t, counts=counts
         )
@@ -200,6 +234,17 @@ def train_sgns(
             "sgns epoch %d/%d: %d pairs, loss %.4f",
             epoch + 1, config.epochs, len(c), float(np.mean(losses)) if losses else float("nan"),
         )
+        if mgr is not None:
+            mgr.save(epoch + 1, {
+                "w_in": np.asarray(w_in), "w_out": np.asarray(w_out),
+                "acc_in": np.asarray(acc_in), "acc_out": np.asarray(acc_out),
+                "key": np.asarray(key),
+            })
+        if stop_after_epochs is not None and (epoch + 1 - start_epoch) >= stop_after_epochs:
+            log.info("sgns: stopping after %d epochs this run", stop_after_epochs)
+            break
+    if mgr is not None:
+        mgr.close()
     return SGNSModel(np.asarray(w_in), np.asarray(w_out), counts.astype(np.float32), config)
 
 

@@ -71,3 +71,23 @@ def test_sgns_learns_cluster_structure(tmp_path):
     assert table.shape == (n_aids, 5)
     same_cluster = np.mean(table[:, 0] // per == np.arange(n_aids) // per)
     assert same_cluster > 0.9
+
+
+def test_sgns_checkpoint_resume(tmp_path):
+    """An interrupted run resumed from its checkpoint must match an
+    uninterrupted run exactly (same RNG stream, same lr schedule)."""
+    rng = np.random.default_rng(5)
+    S, L = 300, 8
+    sess = np.repeat(np.arange(S), L)
+    aid = rng.integers(0, 30, S * L)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+    cfg = SGNSConfig(dim=8, window=3, negatives=4, epochs=4, batch_centers=2048, subsample_t=0)
+
+    full = train_sgns(es, 30, cfg)
+
+    ck = tmp_path / "ck"
+    # simulate preemption after 2 epochs of the same 4-epoch schedule
+    train_sgns(es, 30, cfg, checkpoint_dir=ck, stop_after_epochs=2)
+    resumed = train_sgns(es, 30, cfg, checkpoint_dir=ck)
+
+    np.testing.assert_allclose(resumed.w_in, full.w_in, rtol=1e-5, atol=1e-6)
