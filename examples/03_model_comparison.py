@@ -14,6 +14,9 @@ from otto_tpu.twostage import run_two_stage
 
 configure_logging()
 
+from otto_tpu.utils.runtime import enable_compilation_cache
+enable_compilation_cache()
+
 es = synthetic_events(n_sessions=6_000, n_aids=2_000, mean_length=12)
 sp = splits.split_by_fraction(es, val_fraction=0.25)
 N = 2_000

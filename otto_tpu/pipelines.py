@@ -103,6 +103,10 @@ def run_covisit_heuristic(
 def main(argv=None):
     import argparse
 
+    from otto_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(prog="otto_tpu.pipelines")
     parser.add_argument(
         "model", choices=["aid_frequency", "aid_weight", "covisitation", "two_stage"]
