@@ -115,6 +115,11 @@ def compute_interaction_features(
     out["aid_session_candidate_cumcount_last_max"] = aid_broadcast(seg_max(flat_aid, cum_f, n_aids))
 
     out["candidate_scores"] = scores.astype(np.float64)
+    # explicit list position (not in the reference's 54 features; GBDTs can
+    # reconstruct rank from monotone splits of candidate_scores, MLPs cannot)
+    out["candidate_rank"] = np.where(
+        valid.reshape(S, C), np.arange(C, dtype=np.float64)[None, :], np.nan
+    )
     return {k: np.asarray(v, np.float32) for k, v in out.items()}
 
 

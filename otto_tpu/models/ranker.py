@@ -149,18 +149,33 @@ class RankerData:
 
 @dataclass
 class FeatureNormalizer:
+    """Standardizer with automatic signed-log1p compression of heavy-tailed
+    columns.  GBDTs are invariant to monotone transforms; MLPs are not —
+    count-like features spanning orders of magnitude crush the useful signal
+    into a corner of the activation range without compression."""
+
     mean: np.ndarray
     std: np.ndarray
+    log_cols: np.ndarray  # bool [F]
 
     @classmethod
-    def fit(cls, features: np.ndarray, mask: np.ndarray) -> "FeatureNormalizer":
-        flat = features[mask]
-        mean = np.nanmean(flat, axis=0)
-        std = np.nanstd(flat, axis=0)
-        return cls(mean.astype(np.float32), np.maximum(std, 1e-6).astype(np.float32))
+    def fit(cls, features: np.ndarray, mask: np.ndarray,
+            log_threshold: float = 50.0) -> "FeatureNormalizer":
+        flat = features[mask].astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            max_abs = np.nanmax(np.abs(flat), axis=0)
+        log_cols = np.nan_to_num(max_abs) > log_threshold
+        comp = flat.copy()
+        comp[:, log_cols] = np.sign(comp[:, log_cols]) * np.log1p(np.abs(comp[:, log_cols]))
+        mean = np.nanmean(comp, axis=0)
+        std = np.nanstd(comp, axis=0)
+        return cls(mean.astype(np.float32), np.maximum(std, 1e-6).astype(np.float32), log_cols)
 
     def __call__(self, features: np.ndarray) -> np.ndarray:
-        out = (features - self.mean) / self.std
+        out = np.asarray(features, np.float32).copy()
+        lc = self.log_cols
+        out[..., lc] = np.sign(out[..., lc]) * np.log1p(np.abs(out[..., lc]))
+        out = (out - self.mean) / self.std
         return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
 
 
@@ -194,7 +209,8 @@ class RankerModel:
                 flat[f"fold{i}_{k}"] = np.asarray(v)
         np.savez_compressed(
             path, __n_folds=len(self.params_per_fold),
-            __mean=self.normalizer.mean, __std=self.normalizer.std, **flat,
+            __mean=self.normalizer.mean, __std=self.normalizer.std,
+            __logcols=self.normalizer.log_cols, **flat,
         )
 
     @classmethod
@@ -207,7 +223,11 @@ class RankerModel:
             params.append(
                 {k[len(prefix):]: jnp.asarray(z[k]) for k in z.files if k.startswith(prefix)}
             )
-        return cls(params, FeatureNormalizer(z["__mean"], z["__std"]), config)
+        return cls(
+            params,
+            FeatureNormalizer(z["__mean"], z["__std"], z["__logcols"]),
+            config,
+        )
 
 
 @jax.jit
