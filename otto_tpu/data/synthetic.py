@@ -62,11 +62,16 @@ def synthetic_events(
     idx = np.minimum(cluster_starts[session_cluster] + ranks, n_aids - 1)
     aid = order[idx].astype(np.int32)
 
-    # Event types: base probabilities, carts/orders repeat a recent aid.
+    # Event types: per-aid conversion propensities (some items convert to
+    # carts/orders far more than others) so aid-level ratio features carry
+    # real reranking signal, plus a base rate.
+    conversion = rng.beta(1.2, 8.0, size=n_aids)  # mean ~0.13, heavy tail
+    p_cart = 0.06 + 0.5 * conversion[aid]
+    p_order = 0.03 + 0.25 * conversion[aid]
     type_draw = rng.random(total)
     types = np.zeros(total, dtype=np.int8)
-    types[type_draw > 0.88] = 1
-    types[type_draw > 0.95] = 2
+    types[type_draw < p_cart + p_order] = 1
+    types[type_draw < p_order] = 2
     types[pos == 0] = 0  # sessions start with a click
 
     # carts/orders re-reference the previous event's aid half the time
