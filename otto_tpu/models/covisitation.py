@@ -64,8 +64,13 @@ def build_covisitation(
     n_aids: int,
     config: CovisitConfig = CovisitConfig(),
     chunk_sessions: int = 4096,
+    mesh=None,
 ) -> CovisitationMatrices:
-    """Build all seven matrices in one pass over the event data."""
+    """Build all seven matrices in one pass over the event data.
+
+    With ``mesh`` given, each chunk's sessions shard across the mesh's data
+    axis and every device runs the pair-stream + sort-reduce on its shard
+    (chunk_sessions is rounded up to a multiple of the axis size)."""
     T = config.session_tail
     if store.n_events == 0:
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),
@@ -82,20 +87,39 @@ def build_covisitation(
     packed = store.pack(max_len=T, keep="last")
     rel_ts = (packed.ts - t0).astype(np.int32)  # spans weeks, fits int32
     S = packed.n_sessions
+
+    sharded_fn = None
+    if mesh is not None:
+        from otto_tpu.ops.covisit import make_sharded_pair_reduce
+
+        dsize = mesh.shape["data"]
+        chunk_sessions = -(-chunk_sessions // dsize) * dsize
+        sharded_fn = make_sharded_pair_reduce(mesh, n_aids)
+
     for start in range(0, S, chunk_sessions):
         end = min(start + chunk_sessions, S)
-        kx, ky, weights = pair_stream(
-            jnp.asarray(packed.aids[start:end]),
-            jnp.asarray(packed.types[start:end]),
-            jnp.asarray(rel_ts[start:end]),
-            jnp.asarray(packed.mask[start:end]),
-            n_aids,
-            jnp.float32(t1 - t0),
-            type_mult,
-            jnp.int32(config.window_seconds),
-            jnp.int32(14 * 24 * 60 * 60),
+        a = packed.aids[start:end]
+        ty = packed.types[start:end]
+        rt = rel_ts[start:end]
+        mk = packed.mask[start:end]
+        if sharded_fn is not None and len(a) % mesh.shape["data"] != 0:
+            pad = mesh.shape["data"] - len(a) % mesh.shape["data"]
+            a = np.concatenate([a, np.zeros((pad, T), a.dtype)])
+            ty = np.concatenate([ty, np.zeros((pad, T), ty.dtype)])
+            rt = np.concatenate([rt, np.zeros((pad, T), rt.dtype)])
+            mk = np.concatenate([mk, np.zeros((pad, T), bool)])
+        args = (
+            jnp.asarray(a), jnp.asarray(ty), jnp.asarray(rt), jnp.asarray(mk),
         )
-        sx, sy, totals, live = sort_reduce(kx, ky, weights)
+        tail = (
+            jnp.float32(t1 - t0), type_mult,
+            jnp.int32(config.window_seconds), jnp.int32(14 * 24 * 60 * 60),
+        )
+        if sharded_fn is not None:
+            sx, sy, totals, live = sharded_fn(*args, *tail)
+        else:
+            kx, ky, weights = pair_stream(*args, n_aids, *tail)
+            sx, sy, totals, live = sort_reduce(kx, ky, weights)
         live_np = np.asarray(live)
         packed_keys = (
             np.asarray(sx)[live_np].astype(np.int64) * n_aids

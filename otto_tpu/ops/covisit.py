@@ -160,3 +160,30 @@ def merge_sorted_chunks(
     starts = np.flatnonzero(head)
     summed = np.add.reduceat(weights, starts, axis=0)
     return keys[starts], summed
+
+
+def make_sharded_pair_reduce(mesh, n_aids: int, data_axis: str = "data"):
+    """Multi-chip chunk processing: sessions shard across ``data``; each
+    device runs pair_stream + sort_reduce on its sub-chunk.  Outputs stay
+    device-sharded (the host merge concatenates them like extra chunks).
+
+    Returns a jitted fn(aids, types, rel_ts, mask, t_span, type_mult,
+    window_short, window_long) -> (sx, sy, totals, live) with leading
+    dimensions sharded over ``data``.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(aids, types, rel_ts, mask, t_span, type_mult, ws, wl):
+        kx, ky, w = pair_stream(aids, types, rel_ts, mask, n_aids, t_span,
+                                type_mult, ws, wl)
+        return sort_reduce(kx, ky, w)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis), P(), P(), P(), P()),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+    )
+    return jax.jit(fn)

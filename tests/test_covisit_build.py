@@ -118,3 +118,19 @@ def test_save_load_roundtrip(built, tmp_path):
     loaded = CovisitationMatrices.load(tmp_path)
     for kind in COVISIT_KINDS:
         np.testing.assert_array_equal(loaded.tables[kind][0], mats.tables[kind][0])
+
+
+def test_sharded_build_matches_single_device(built):
+    import jax
+
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.parallel.mesh import make_mesh
+
+    es, cfg, mats = built
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    sharded = build_covisitation(es, n_aids=300, config=cfg, chunk_sessions=128, mesh=mesh)
+    for kind in COVISIT_KINDS:
+        a1, w1 = mats.tables[kind]
+        a2, w2 = sharded.tables[kind]
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_allclose(w1, w2, rtol=1e-5)
