@@ -21,7 +21,13 @@ import numpy as np
 from otto_tpu.config import COVISIT_KINDS, CovisitConfig
 from otto_tpu.data.events import EventStore
 from otto_tpu.logging_utils import get_logger
-from otto_tpu.ops.covisit import merge_sorted_chunks, pair_stream, sort_reduce, topk_per_source
+from otto_tpu.ops.covisit import (
+    compact_live,
+    merge_sorted_chunks,
+    pair_stream,
+    sort_reduce,
+    topk_per_source,
+)
 
 log = get_logger(__name__)
 
@@ -117,16 +123,28 @@ def build_covisitation(
         )
         if sharded_fn is not None:
             sx, sy, totals, live = sharded_fn(*args, *tail)
+            live_np = np.asarray(live)
+            sx_np = np.asarray(sx)[live_np].astype(np.int64)
+            sy_np = np.asarray(sy)[live_np].astype(np.int64)
+            w_np = np.asarray(totals)[live_np]
         else:
             kx, ky, weights = pair_stream(*args, n_aids, *tail)
             sx, sy, totals, live = sort_reduce(kx, ky, weights)
-        live_np = np.asarray(live)
-        packed_keys = (
-            np.asarray(sx)[live_np].astype(np.int64) * n_aids
-            + np.asarray(sy)[live_np].astype(np.int64)
-        )
-        keys_chunks.append(packed_keys)
-        weights_chunks.append(np.asarray(totals)[live_np])
+            # device-side compaction: fetch only ~live rows over the host link
+            cap = max(int(sx.shape[0]) // 4, 1 << 16)
+            sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)
+            n = int(n_live)
+            if n <= cap:
+                sx_np = np.asarray(sx_c[:n]).astype(np.int64)
+                sy_np = np.asarray(sy_c[:n]).astype(np.int64)
+                w_np = np.asarray(totals_c[:n])
+            else:  # overflow: fall back to the full fetch
+                live_np = np.asarray(live)
+                sx_np = np.asarray(sx)[live_np].astype(np.int64)
+                sy_np = np.asarray(sy)[live_np].astype(np.int64)
+                w_np = np.asarray(totals)[live_np]
+        keys_chunks.append(sx_np * n_aids + sy_np)
+        weights_chunks.append(w_np)
 
     if not keys_chunks:
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),

@@ -187,3 +187,23 @@ def make_sharded_pair_reduce(mesh, n_aids: int, data_axis: str = "data"):
         out_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
     )
     return jax.jit(fn)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_live(sx, sy, totals, live, cap: int):
+    """Device-side compaction of live aggregated rows to a fixed-size buffer
+    (device->host transfer then moves ~live rows instead of the full P-row
+    stream — a large win when the host link is slow).
+
+    Returns (sx_c [cap], sy_c [cap], totals_c [cap, 7], n_live scalar).
+    Rows beyond n_live are filled with the sentinel and zero weights; if
+    n_live > cap the caller must fall back to fetching the full arrays.
+    """
+    P = sx.shape[0]
+    n_live = jnp.sum(live)
+    idx = jnp.nonzero(live, size=cap, fill_value=P - 1)[0]
+    valid = jnp.arange(cap) < n_live
+    sx_c = jnp.where(valid, sx[idx], jnp.int32(2147483647))
+    sy_c = jnp.where(valid, sy[idx], 0)
+    totals_c = jnp.where(valid[:, None], totals[idx], 0.0)
+    return sx_c, sy_c, totals_c, n_live
