@@ -187,6 +187,9 @@ class RankerModel:
     feature_names: list[str] = field(default_factory=list)
     fold_recalls: list[float] = field(default_factory=list)
     oof_recall: float = float("nan")
+    # candidate-rank prior blend weight selected at training time
+    # (score = scaled_prior + prior_alpha * scaled_tower; nan = unused)
+    prior_alpha: float = float("nan")
 
     def predict(self, features: np.ndarray, mask: np.ndarray, batch: int = 4096) -> np.ndarray:
         """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics)."""

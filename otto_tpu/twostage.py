@@ -59,6 +59,37 @@ def _blend_scores(candidates: np.ndarray, score_mats: list[np.ndarray],
     return np.where(valid, out, -np.inf).astype(np.float32)
 
 
+PRIOR_ALPHAS = (0.0, 0.25, 0.5, 1.0, 2.0, 4.0)
+
+
+def _prior_blend(candidates: np.ndarray, tower_scores: np.ndarray, eval_fn):
+    """Blend the tower score with the candidate-generator's rank prior.
+
+    The generator's ordering (session recency + covisitation votes) is a
+    strong prior; ``score = prior + alpha * tower`` lets the learned model
+    only refine it.  ``alpha`` is selected per event type by OOF recall over
+    a small grid (alpha -> infinity recovers the pure tower; alpha = 0 the
+    pure prior).
+    """
+    S, C = candidates.shape
+    valid = candidates >= 0
+    prior = np.where(valid, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
+    prior_n = _blend_scores(candidates, [prior], [1.0])
+    tower_n = _blend_scores(candidates, [tower_scores], [1.0])
+    best_alpha, best_r, best_scores = 0.0, -1.0, prior_n
+    idx = np.arange(S)
+    for alpha in PRIOR_ALPHAS:
+        blended = np.where(valid, prior_n + alpha * tower_n, -np.inf)
+        r = eval_fn(idx, blended)
+        if r > best_r:
+            best_alpha, best_r, best_scores = alpha, r, blended
+    # also consider the pure tower (alpha = inf)
+    r_tower = eval_fn(idx, tower_n)
+    if r_tower > best_r:
+        return tower_n, float("inf")
+    return best_scores, best_alpha
+
+
 @dataclass
 class TwoStageArtifacts:
     matrices: CovisitationMatrices
@@ -95,6 +126,7 @@ def run_two_stage(
     ranker_config: RankerConfig = RankerConfig(),
     second_ranker_config: RankerConfig | None = None,
     blend_weights: tuple[float, float] = (0.5, 0.5),
+    prior_blend: bool = True,
     sgns_config: SGNSConfig | None = None,
     feature_list: list[str] = RANKER_FEATURES,
     ft_k: int = 20,
@@ -173,6 +205,10 @@ def run_two_stage(
                 oof = _blend_scores(
                     cands.candidates[etype], [oof, oof_b], list(blend_weights)
                 )
+            if prior_blend:
+                oof, alpha = _prior_blend(cands.candidates[etype], oof, eval_fn)
+                rankers[etype].prior_alpha = alpha
+                log.info("%s: prior-blend alpha %.2f", etype, alpha)
             predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
         else:
             raise ValueError(
@@ -227,6 +263,19 @@ def predict_two_stage(
         )
         X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
         mask = cands.candidates[etype] >= 0
-        scores = artifacts.rankers[etype].predict(X, mask)
+        model = artifacts.rankers[etype]
+        scores = model.predict(X, mask)
+        b = artifacts.rankers.get(f"{etype}_b")
+        if b is not None:
+            scores = _blend_scores(cands.candidates[etype],
+                                   [scores, b.predict(X, mask)], [0.5, 0.5])
+        alpha = getattr(model, "prior_alpha", float("nan"))
+        if np.isfinite(alpha):
+            C = cands.candidates[etype].shape[1]
+            prior = np.where(mask, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
+            scores = _blend_scores(cands.candidates[etype], [prior], [1.0]) + alpha * _blend_scores(
+                cands.candidates[etype], [scores], [1.0]
+            )
+            scores = np.where(mask, scores, -np.inf)
         out[etype] = top_k_predictions(cands.candidates[etype], scores, k=TOP_K)
     return out
