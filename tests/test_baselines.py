@@ -114,3 +114,27 @@ def test_cli_covisitation_mode():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "weighted recall@20" in r.stdout
+
+
+def test_cli_submission_mode(tmp_path):
+    import subprocess, sys, os
+
+    es = synthetic_events(n_sessions=200, n_aids=150, seed=35)
+    es.to_parquet("/tmp/cli_events_sub.parquet")
+    out = tmp_path / "sub.csv.gz"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "otto_tpu.pipelines", "aid_weight", "submission",
+         "--events", "/tmp/cli_events_sub.parquet", "--n-aids", "150",
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from otto_tpu.data.submission import read_submission
+
+    back = read_submission(out)
+    assert len(back["clicks"]) == 200
+    # every line has <= 20 predictions
+    assert all(len(v) <= 20 for v in back["clicks"].values())
