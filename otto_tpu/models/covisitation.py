@@ -135,9 +135,11 @@ def build_covisitation(
             sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)
             n = int(n_live)
             if n <= cap:
-                sx_np = np.asarray(sx_c[:n]).astype(np.int64)
-                sy_np = np.asarray(sy_c[:n]).astype(np.int64)
-                w_np = np.asarray(totals_c[:n])
+                # fetch the fixed-cap buffers (device-side slicing to a
+                # varying n would recompile per chunk) and slice on host
+                sx_np = np.asarray(sx_c)[:n].astype(np.int64)
+                sy_np = np.asarray(sy_c)[:n].astype(np.int64)
+                w_np = np.asarray(totals_c)[:n]
             else:  # overflow: fall back to the full fetch
                 live_np = np.asarray(live)
                 sx_np = np.asarray(sx)[live_np].astype(np.int64)
