@@ -69,13 +69,17 @@ def build_covisitation(
     store: EventStore,
     n_aids: int,
     config: CovisitConfig = CovisitConfig(),
-    chunk_sessions: int = 4096,
+    chunk_sessions: int = 2048,
     mesh=None,
 ) -> CovisitationMatrices:
     """Build all seven matrices in one pass over the event data.
 
-    With ``mesh`` given, each chunk's sessions shard across the mesh's data
-    axis and every device runs the pair-stream + sort-reduce on its shard
+    Every chunk is padded to exactly ``chunk_sessions`` so the device programs
+    compile once per (chunk_sessions, session_tail) shape — XLA's TPU sort is
+    fast to *run* but very slow to *compile* at millions of elements, so shape
+    stability plus the persistent compilation cache is what makes construction
+    cheap.  With ``mesh`` given, each chunk's sessions shard across the mesh's
+    data axis and every device runs the pair-stream + sort-reduce on its shard
     (chunk_sessions is rounded up to a multiple of the axis size)."""
     T = config.session_tail
     if store.n_events == 0:
@@ -108,8 +112,9 @@ def build_covisitation(
         ty = packed.types[start:end]
         rt = rel_ts[start:end]
         mk = packed.mask[start:end]
-        if sharded_fn is not None and len(a) % mesh.shape["data"] != 0:
-            pad = mesh.shape["data"] - len(a) % mesh.shape["data"]
+        if len(a) < chunk_sessions:
+            # pad to the fixed chunk shape: one compiled program per config
+            pad = chunk_sessions - len(a)
             a = np.concatenate([a, np.zeros((pad, T), a.dtype)])
             ty = np.concatenate([ty, np.zeros((pad, T), ty.dtype)])
             rt = np.concatenate([rt, np.zeros((pad, T), rt.dtype)])
