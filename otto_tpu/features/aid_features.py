@@ -24,7 +24,6 @@ from otto_tpu.features.base import (
     seg_min,
     seg_nunique,
     seg_std,
-    seg_sum,
 )
 
 EVENT_NAMES = ("click", "cart", "order")

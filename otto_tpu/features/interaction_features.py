@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from otto_tpu.data.events import EventStore
-from otto_tpu.features.base import seg_count, seg_max, seg_mean, seg_min, seg_std, seg_sum
+from otto_tpu.features.base import seg_max, seg_mean, seg_min, seg_std, seg_sum
 
 EVENT_NAMES = ("click", "cart", "order")
 

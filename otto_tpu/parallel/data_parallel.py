@@ -6,10 +6,7 @@ data-parallelism the reference lacks entirely (SURVEY §2.10: no DDP)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P

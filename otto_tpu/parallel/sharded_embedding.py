@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from otto_tpu.ops.retrieval import NEG
 
 
 def sharded_lookup(mesh: Mesh, table, indices, model_axis: str = "model"):

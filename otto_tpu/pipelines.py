@@ -9,7 +9,7 @@ small CLI (``python -m otto_tpu.pipelines``) for file-based runs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from pathlib import Path
+
 
 import numpy as np
 
