@@ -25,7 +25,7 @@ from otto_tpu.ops.covisit import (
     compact_live,
     merge_sorted_chunks,
     pair_stream,
-    sort_reduce,
+    sort_reduce_rows,
     topk_per_source,
 )
 
@@ -134,7 +134,11 @@ def build_covisitation(
             w_np = np.asarray(totals)[live_np]
         else:
             kx, ky, weights = pair_stream(*args, n_aids, *tail)
-            sx, sy, totals, live = sort_reduce(kx, ky, weights)
+            cs = len(a)
+            sx, sy, totals, live = sort_reduce_rows(
+                kx.reshape(cs, T * T), ky.reshape(cs, T * T),
+                weights.reshape(cs, T * T, -1),
+            )
             # device-side compaction: fetch only ~live rows over the host link
             cap = max(int(sx.shape[0]) // 4, 1 << 16)
             sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)

@@ -178,7 +178,10 @@ def make_sharded_pair_reduce(mesh, n_aids: int, data_axis: str = "data"):
     def local(aids, types, rel_ts, mask, t_span, type_mult, ws, wl):
         kx, ky, w = pair_stream(aids, types, rel_ts, mask, n_aids, t_span,
                                 type_mult, ws, wl)
-        return sort_reduce(kx, ky, w)
+        S, T = aids.shape
+        return sort_reduce_rows(
+            kx.reshape(S, T * T), ky.reshape(S, T * T), w.reshape(S, T * T, -1)
+        )
 
     fn = shard_map(
         local,
@@ -207,3 +210,26 @@ def compact_live(sx, sy, totals, live, cap: int):
     sy_c = jnp.where(valid, sy[idx], 0)
     totals_c = jnp.where(valid[:, None], totals[idx], 0.0)
     return sx_c, sy_c, totals_c, n_live
+
+
+@jax.jit
+def sort_reduce_rows(key_x: jax.Array, key_y: jax.Array, weights: jax.Array):
+    """Per-session-row variant of :func:`sort_reduce`.
+
+    key_x/key_y: int32 [S, M]; weights: float32 [S, M, 7] with M = T*T.
+    Sorts and run-reduces *within each session row* (M ~ 900 element sorts
+    compile in seconds and vectorize across rows, where a single flat
+    multi-million-element sort takes minutes to compile — and can OOM the
+    compiler).  Cross-session duplicate keys remain; the host-side chunk merge
+    re-reduces them.  Returns flattened (sx, sy, totals, live).
+    """
+    S, M = key_x.shape
+    order = jnp.lexsort((key_y, key_x), axis=-1)
+    sx = jnp.take_along_axis(key_x, order, axis=1)
+    sy = jnp.take_along_axis(key_y, order, axis=1)
+    sw = jnp.take_along_axis(weights, order[:, :, None], axis=1)
+    same = (sx[:, 1:] == sx[:, :-1]) & (sy[:, 1:] == sy[:, :-1])
+    head = jnp.concatenate([jnp.ones((S, 1), bool), ~same], axis=1)
+    run_total = run_totals(sw, head[:, :, None], axis=1)
+    live = head & jnp.any(run_total > 0, axis=2)
+    return sx.reshape(-1), sy.reshape(-1), run_total.reshape(-1, 7), live.reshape(-1)
