@@ -130,16 +130,23 @@ def _label_dict(cand_dict, labels: SessionLabels):
     return out
 
 
-@partial(jax.jit, static_argnames=("uniq_cap", "wide_k", "k_covisit", "with_ft"))
-def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit, with_ft):
+@partial(jax.jit, static_argnames=("uniq_cap", "wide_k", "k_covisit", "with_ft", "vote_cap"))
+def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit,
+                   with_ft, vote_cap=32):
     """One chunk of the regular generator: returns per-type (candidates,
-    scores) of width uniq_cap + k_covisit."""
+    scores) of width uniq_cap + k_covisit.
+
+    ``vote_cap`` bounds the per-session source lists feeding the vote gathers
+    (the concatenated row width drives the row-sort compile cost
+    superlinearly; sessions with more than vote_cap distinct source aids are
+    rare and lose only their least-recent vote sources)."""
     (t_time, t_clickw, t_cartw, t_clickcart, t_cartorder) = tables_tuple
     S = aids.shape[0]
     uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
-    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, min(vote_cap, uniq_cap))
+    vote_src = uniq_recent[:, : min(vote_cap, uniq_cap)]
 
-    g_time = gather_neighbors(t_time[:, :wide_k], uniq_recent)
+    g_time = gather_neighbors(t_time[:, :wide_k], vote_src)
     g_clickw = gather_neighbors(t_clickw[:, :wide_k], clickcart)
     g_cartw = gather_neighbors(t_cartw[:, :wide_k], clickcart)
     g_clickcart = gather_neighbors(t_clickcart[:, :wide_k], clickcart)
@@ -203,10 +210,11 @@ def regular_candidates(
     ft_neighbors: np.ndarray | None = None,
     labels: SessionLabels | None = None,
     uniq_cap: int = 64,
-    wide_k: int = 50,
+    wide_k: int = 20,
     k_covisit: int = 100,
     max_len: int = 256,
     chunk_sessions: int = 2048,
+    vote_cap: int = 32,
 ) -> CandidateSet:
     """The production candidate generator."""
     packed = store.pack(max_len=max_len, keep="last")
@@ -219,7 +227,9 @@ def regular_candidates(
 
     res = _chunked(
         packed,
-        lambda a, t, m, lens: _regular_chunk(a, t, m, tt, ft, uniq_cap, wide_k, k_covisit, with_ft),
+        lambda a, t, m, lens: _regular_chunk(
+            a, t, m, tt, ft, uniq_cap, wide_k, k_covisit, with_ft, vote_cap
+        ),
         store.n_sessions,
         chunk_sessions,
     )
