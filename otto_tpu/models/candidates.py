@@ -130,7 +130,27 @@ def _label_dict(cand_dict, labels: SessionLabels):
     return out
 
 
-@partial(jax.jit, static_argnames=("uniq_cap", "wide_k", "k_covisit", "with_ft", "vote_cap"))
+@partial(jax.jit, static_argnames=("k_covisit",))
+def _vote_block(vals, uniq_recent, k_covisit):
+    """Vote-count top-k + session-aid exclusion + compaction for one list.
+
+    A separate small jit per list shape: carts/orders share shapes (one
+    compile serves both) and each program stays small enough for the remote
+    compiler."""
+    top, votes = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k_covisit)
+    return _compact_two(mask_members(top, uniq_recent), votes)
+
+
+@partial(jax.jit, static_argnames=("uniq_cap", "vote_cap"))
+def _session_lists(aids, types, mask, uniq_cap, vote_cap):
+    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, min(vote_cap, uniq_cap))
+    n_uniq = jnp.sum(uniq_recent >= 0, axis=1)
+    col = jnp.arange(uniq_cap, dtype=jnp.float32)[None, :]
+    hist_scores = jnp.where(uniq_recent >= 0, n_uniq[:, None].astype(jnp.float32) - col, 0.0)
+    return uniq_recent, clickcart, hist_scores
+
+
 def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit,
                    with_ft, vote_cap=32):
     """One chunk of the regular generator: returns per-type (candidates,
@@ -142,8 +162,7 @@ def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, 
     rare and lose only their least-recent vote sources)."""
     (t_time, t_clickw, t_cartw, t_clickcart, t_cartorder) = tables_tuple
     S = aids.shape[0]
-    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
-    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, min(vote_cap, uniq_cap))
+    uniq_recent, clickcart, hist_scores = _session_lists(aids, types, mask, uniq_cap, vote_cap)
     vote_src = uniq_recent[:, : min(vote_cap, uniq_cap)]
 
     g_time = gather_neighbors(t_time[:, :wide_k], vote_src)
@@ -164,16 +183,9 @@ def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, 
         "orders": jnp.concatenate([g_time, g_cartw, g_cartorder, ft_list], axis=1),
     }
 
-    # history scores: descending ranks n..1 over the (capped) unique list
-    n_uniq = jnp.sum(uniq_recent >= 0, axis=1)
-    col = jnp.arange(uniq_cap, dtype=jnp.float32)[None, :]
-    hist_scores = jnp.where(uniq_recent >= 0, n_uniq[:, None].astype(jnp.float32) - col, 0.0)
-
     out = {}
     for etype in EVENT_TYPES:
-        vals = lists[etype]
-        top, votes = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k_covisit)
-        filt, filt_scores = _compact_two(mask_members(top, uniq_recent), votes)
+        filt, filt_scores = _vote_block(lists[etype], uniq_recent, k_covisit)
         cands = jnp.concatenate([uniq_recent, filt], axis=1)
         scores = jnp.concatenate([hist_scores, filt_scores], axis=1)
         out[etype] = (cands, scores)
