@@ -137,3 +137,26 @@ def visualize_aid_frequencies(counts: np.ndarray, path: str | Path, top_n: int =
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return Path(path)
+
+
+def visualize_distributions(store, path: str | Path) -> Path:
+    """Dataset distribution panel: session lengths, event-type mix, aid
+    frequency tail (visualization.py's distribution plots)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    lengths = store.lengths
+    axes[0].hist(lengths, bins=min(50, int(lengths.max())), log=True)
+    axes[0].set_xlabel("session length")
+    axes[0].set_ylabel("sessions (log)")
+    type_counts = np.bincount(store.type, minlength=3)
+    axes[1].bar(["clicks", "carts", "orders"], type_counts)
+    axes[1].set_ylabel("events")
+    counts = np.bincount(store.aid)
+    counts = counts[counts > 0]
+    axes[2].hist(counts, bins=50, log=True)
+    axes[2].set_xlabel("events per aid")
+    axes[2].set_ylabel("aids (log)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return Path(path)

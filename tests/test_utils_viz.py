@@ -87,3 +87,10 @@ def test_permutation_importance_identifies_signal():
     model, _ = train_ranker(data, cfg)
     imp = permutation_importance(model, X, y, m, data.feature_names, n_sessions=100)
     assert imp["f0"] == max(imp.values())
+
+
+def test_visualize_distributions(tmp_path, small_events):
+    from otto_tpu import visualization as viz
+
+    p = viz.visualize_distributions(small_events, tmp_path / "dist.png")
+    assert p.exists() and p.stat().st_size > 0
