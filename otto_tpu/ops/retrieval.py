@@ -158,7 +158,10 @@ def topk_approx(queries: jax.Array, items: jax.Array, k: int, tile: int = 256,
     q = queries
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, D), q.dtype)], axis=0)
-    tiles = q.reshape(-1, tile, D).astype(jnp.float32)
+    # bfloat16 item tables halve the HBM table traffic; scores still
+    # accumulate in float32 on the MXU
+    compute_dt = jnp.bfloat16 if items.dtype == jnp.bfloat16 else jnp.float32
+    tiles = q.reshape(-1, tile, D).astype(compute_dt)
 
     if metric == "euclidean":
         sq = jnp.sum(items.astype(jnp.float32) ** 2, axis=1)
@@ -166,7 +169,7 @@ def topk_approx(queries: jax.Array, items: jax.Array, k: int, tile: int = 256,
         sq = None
 
     def one_tile(carry, qt):
-        s = jnp.dot(qt, items.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        s = jnp.dot(qt, items.T, preferred_element_type=jnp.float32)
         if metric == "euclidean":
             s = 2.0 * s - sq[None, :]
         bs, bi = jax.lax.approx_max_k(s, k, recall_target=recall_target)
