@@ -6,6 +6,7 @@ from otto_tpu.eval.metrics import (
     weighted_recall,
 )
 from otto_tpu.eval.harness import RecallReport, evaluate_predictions
+from otto_tpu.eval.model_metrics import classification_scores, regression_scores, roc_auc
 
 __all__ = [
     "click_recall_at_k",
@@ -15,4 +16,7 @@ __all__ = [
     "weighted_recall",
     "RecallReport",
     "evaluate_predictions",
+    "classification_scores",
+    "regression_scores",
+    "roc_auc",
 ]

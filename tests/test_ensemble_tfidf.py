@@ -80,3 +80,35 @@ def test_tfidf_similar_sessions_recover_cluster():
                 correct += 1
     assert total > 0
     assert correct / total > 0.9
+
+
+def test_blend_from_candidate_sets():
+    """Ensemble.blend over flattened per-model candidate scores (the
+    cross-model path the reference's ranker/inference.py takes)."""
+    rng = np.random.default_rng(7)
+    S, C = 30, 10
+    sessions = np.arange(100, 100 + S)
+    cands = rng.integers(0, 500, (S, C)).astype(np.int32)
+    scores_a = rng.random((S, C)).astype(np.float32)
+    scores_b = rng.random((S, C)).astype(np.float32)
+
+    def flat(scores):
+        return ModelPredictions(
+            session=np.repeat(sessions, C),
+            aid=cands.reshape(-1),
+            score=scores.reshape(-1),
+        )
+
+    out_sessions, top = blend({"a": flat(scores_a), "b": flat(scores_b)},
+                              {"a": 0.7, "b": 0.3}, k=5)
+    np.testing.assert_array_equal(out_sessions, sessions)
+    # spot-check one session against a numpy oracle
+    from otto_tpu.models.ensemble import robust_scale
+
+    sa = robust_scale(scores_a.reshape(-1).astype(np.float64)).reshape(S, C)
+    sb = robust_scale(scores_b.reshape(-1).astype(np.float64)).reshape(S, C)
+    s0 = {}
+    for c, va, vb in zip(cands[0], sa[0], sb[0]):
+        s0[int(c)] = s0.get(int(c), 0.0) + 0.7 * va + 0.3 * vb
+    expected = [a for a, _ in sorted(s0.items(), key=lambda kv: -kv[1])][:5]
+    assert list(top[0][: len(expected)]) == expected
