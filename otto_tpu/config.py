@@ -211,8 +211,11 @@ class RankerConfig(ConfigBase):
 
 @dataclass(frozen=True)
 class SequenceModelConfig(ConfigBase):
-    """Sequential session encoder (GRU) replacing the RecBole stack
-    (reference: src/recbole/{dataset,trainer,inference}.py)."""
+    """Sequential session encoder replacing the RecBole stack
+    (reference: src/recbole/{dataset,trainer,inference}.py).  The reference
+    instantiates arbitrary RecBole recommenders via ``eval(model_name)``
+    (recbole/trainer.py:28-47); here ``architecture`` selects between a GRU
+    (GRU4Rec-style) and a causal-transformer (SASRec-style) encoder."""
 
     n_aids: int = 1_855_604
     dim: int = 64
@@ -223,6 +226,9 @@ class SequenceModelConfig(ConfigBase):
     epochs: int = 3
     n_negatives: int = 512
     seed: int = 42
+    architecture: str = "gru"  # 'gru' | 'transformer'
+    n_layers: int = 2  # transformer only
+    n_heads: int = 2  # transformer only
 
 
 @dataclass(frozen=True)

@@ -1,14 +1,21 @@
 """Sequential session recommender — the RecBole-stack replacement
 (reference: src/recbole/{dataset,trainer,inference}.py).
 
-A GRU encoder over the session's last ``max_len`` aids (RecBole pads item
-lists to 20, recbole/inference.py:63-68) with tied item embeddings and a
-sampled-softmax next-item objective.  Inference is ``full_sort_predict``
-semantics: encode the session, score all items with one matmul through the
-exact top-k scan (recbole/inference.py:74-84's full_sort + topk), excluding
-the PAD position.  The 3-way serving routing (>=20 unique aids -> recency;
-else model; unknown last aid -> embedding kNN fallback,
-recbole/inference.py:137-148) lives in the serving pipeline.
+Two encoder architectures over the session's last ``max_len`` aids (RecBole
+pads item lists to 20, recbole/inference.py:63-68), selected by
+``SequenceModelConfig.architecture`` the way the reference selects RecBole
+models by name (recbole/trainer.py:28-47):
+
+- ``gru`` — GRU4Rec-style recurrent encoder (lax.scan over time).
+- ``transformer`` — SASRec-style causal self-attention encoder; with L=20 the
+  attention is a tiny MXU matmul and the whole block fuses.
+
+Both use tied item embeddings and a sampled-softmax next-item objective.
+Inference is ``full_sort_predict`` semantics: encode the session, score all
+items with one matmul through the exact top-k scan (recbole/inference.py:74-84
+full_sort + topk), excluding the PAD position.  The 3-way serving routing
+(>=20 unique aids -> recency; else model; unknown last aid -> embedding kNN
+fallback, recbole/inference.py:137-148) lives in the serving pipeline.
 """
 
 from __future__ import annotations
@@ -29,16 +36,59 @@ from otto_tpu.ops.retrieval import topk_scan
 log = get_logger(__name__)
 
 
-def init_params(key, n_aids: int, dim: int, hidden: int) -> dict:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    scale = 0.05
-    return {
-        "item_emb": jax.random.normal(k1, (n_aids + 1, dim)) * scale,  # +1 PAD row
-        "gru_wx": jax.random.normal(k2, (dim, 3 * hidden)) * np.sqrt(1.0 / dim),
-        "gru_wh": jax.random.normal(k3, (hidden, 3 * hidden)) * np.sqrt(1.0 / hidden),
-        "gru_b": jnp.zeros((3 * hidden,)),
-        "out_proj": jax.random.normal(k4, (hidden, dim)) * np.sqrt(1.0 / hidden),
-    }
+def init_params(
+    key,
+    n_aids: int,
+    dim: int,
+    hidden: int,
+    architecture: str = "gru",
+    max_len: int = 20,
+    n_layers: int = 2,
+    n_heads: int = 2,
+) -> dict:
+    if architecture == "gru":
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        scale = 0.05
+        return {
+            "item_emb": jax.random.normal(k1, (n_aids + 1, dim)) * scale,  # +1 PAD row
+            "gru_wx": jax.random.normal(k2, (dim, 3 * hidden)) * np.sqrt(1.0 / dim),
+            "gru_wh": jax.random.normal(k3, (hidden, 3 * hidden)) * np.sqrt(1.0 / hidden),
+            "gru_b": jnp.zeros((3 * hidden,)),
+            "out_proj": jax.random.normal(k4, (hidden, dim)) * np.sqrt(1.0 / hidden),
+        }
+    if architecture == "transformer":
+        if dim % n_heads:
+            raise ValueError(f"dim={dim} not divisible by n_heads={n_heads}")
+        keys = jax.random.split(key, 3 + n_layers)
+        p = {
+            "item_emb": jax.random.normal(keys[0], (n_aids + 1, dim)) * 0.05,
+            "pos_emb": jax.random.normal(keys[1], (max_len, dim)) * 0.05,
+            "out_proj": jax.random.normal(keys[2], (dim, dim)) * np.sqrt(1.0 / dim),
+            "final_ln": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+            "layers": [],
+        }
+        s = np.sqrt(1.0 / dim)
+        hd = dim // n_heads
+        for li in range(n_layers):
+            lk = jax.random.split(keys[3 + li], 6)
+            p["layers"].append(
+                {
+                    # [D, heads, head_dim] so the head count travels with the
+                    # array shape (params stay a pure-array pytree for optax)
+                    "wq": jax.random.normal(lk[0], (dim, n_heads, hd)) * s,
+                    "wk": jax.random.normal(lk[1], (dim, n_heads, hd)) * s,
+                    "wv": jax.random.normal(lk[2], (dim, n_heads, hd)) * s,
+                    "wo": jax.random.normal(lk[3], (dim, dim)) * s,
+                    "ffn_w1": jax.random.normal(lk[4], (dim, 4 * dim)) * s,
+                    "ffn_b1": jnp.zeros((4 * dim,)),
+                    "ffn_w2": jax.random.normal(lk[5], (4 * dim, dim)) * np.sqrt(0.25 / dim),
+                    "ffn_b2": jnp.zeros((dim,)),
+                    "ln1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+                    "ln2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+                }
+            )
+        return p
+    raise ValueError(f"unknown architecture {architecture!r}")
 
 
 def _gru_cell(params, h, x):
@@ -51,8 +101,7 @@ def _gru_cell(params, h, x):
     return (1 - z) * h + z * n
 
 
-def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
-    """seq: int32 [B, L] (PAD = n_aids); returns session vectors [B, dim]."""
+def _encode_gru(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     emb = params["item_emb"][seq]  # [B, L, D]
     B = seq.shape[0]
     H = params["gru_wh"].shape[0]
@@ -66,6 +115,49 @@ def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     h0 = jnp.zeros((B, H))
     h, _ = jax.lax.scan(step, h0, (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(mask, 0, 1)))
     return h @ params["out_proj"]
+
+
+def _layer_norm(ln, x, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+
+
+def _encode_transformer(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """SASRec-style causal encoder.  Sessions are right-padded
+    (EventStore.pack keep='last'); the session vector is the hidden state at
+    the last valid position.  L is small (20) so attention is one fused MXU
+    matmul per layer — no flash/ring machinery needed (SURVEY §5.7)."""
+    B, L = seq.shape
+    D = params["pos_emb"].shape[1]
+    x = params["item_emb"][seq] + params["pos_emb"][None, :L]  # [B, L, D]
+    x = jnp.where(mask[:, :, None], x, 0.0)
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    attn_ok = causal[None] & mask[:, None, :]  # [B, Lq, Lk]
+    for layer in params["layers"]:
+        h = _layer_norm(layer["ln1"], x)
+        hd = layer["wq"].shape[-1]
+        q = jnp.einsum("bld,dhk->blhk", h, layer["wq"])
+        k = jnp.einsum("bld,dhk->blhk", h, layer["wk"])
+        v = jnp.einsum("bld,dhk->blhk", h, layer["wv"])
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        logits = jnp.where(attn_ok[:, None], logits, -1e9)
+        att = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
+        x = x + out @ layer["wo"]
+        h = _layer_norm(layer["ln2"], x)
+        x = x + jax.nn.gelu(h @ layer["ffn_w1"] + layer["ffn_b1"]) @ layer["ffn_w2"] + layer["ffn_b2"]
+    x = _layer_norm(params["final_ln"], x)
+    last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [B]
+    h_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    return h_last @ params["out_proj"]
+
+
+def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """seq: int32 [B, L] (PAD = n_aids); returns session vectors [B, dim]."""
+    if "gru_wx" in params:
+        return _encode_gru(params, seq, mask)
+    return _encode_transformer(params, seq, mask)
 
 
 @dataclass
@@ -104,12 +196,20 @@ class SequenceModel:
         return out
 
     def save(self, path):
-        np.savez_compressed(path, **{k: np.asarray(v) for k, v in self.params.items()})
+        leaves = jax.tree_util.tree_leaves(self.params)
+        np.savez_compressed(path, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
 
     @classmethod
     def load(cls, path, config: SequenceModelConfig):
+        template = init_params(
+            jax.random.PRNGKey(0), config.n_aids, config.dim, config.hidden,
+            architecture=config.architecture, max_len=config.max_len,
+            n_layers=config.n_layers, n_heads=config.n_heads,
+        )
+        treedef = jax.tree_util.tree_structure(template)
         z = np.load(path)
-        return cls({k: jnp.asarray(z[k]) for k in z.files}, config)
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z.files))]
+        return cls(jax.tree_util.tree_unflatten(treedef, leaves), config)
 
 
 def _training_examples(store: EventStore, max_len: int, n_aids: int):
@@ -140,7 +240,11 @@ def train_sequence_model(
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
     key, init_key = jax.random.split(key)
-    params = init_params(init_key, config.n_aids, config.dim, config.hidden)
+    params = init_params(
+        init_key, config.n_aids, config.dim, config.hidden,
+        architecture=config.architecture, max_len=config.max_len,
+        n_layers=config.n_layers, n_heads=config.n_heads,
+    )
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(params)
 

@@ -56,3 +56,48 @@ def test_sequence_model_learns_deterministic_transitions(tmp_path):
     loaded = SequenceModel.load(tmp_path / "seq.npz", cfg)
     top2 = loaded.full_sort_topk(test, k=3)
     np.testing.assert_array_equal(top, top2)
+
+
+def test_transformer_learns_deterministic_transitions(tmp_path):
+    # same Markov corpus, SASRec-style causal-transformer architecture
+    rng = np.random.default_rng(1)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=0, max_len=5, batch_size=1024,
+                              epochs=20, n_negatives=10, learning_rate=5e-3,
+                              architecture="transformer", n_layers=2, n_heads=2)
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+
+    model.save(tmp_path / "sas.npz")
+    loaded = SequenceModel.load(tmp_path / "sas.npz", cfg)
+    np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))
+
+
+def test_transformer_causality():
+    # changing a future event must not change the encoding at earlier positions'
+    # session vector when the changed position is masked out
+    import jax
+    import jax.numpy as jnp
+
+    from otto_tpu.models.sequence import encode, init_params
+
+    p = init_params(jax.random.PRNGKey(0), 30, 16, 0, architecture="transformer",
+                    max_len=8, n_layers=2, n_heads=2)
+    seq = np.array([[1, 2, 3, 4, 0, 0, 0, 0]], np.int32)
+    mask = np.array([[1, 1, 1, 1, 0, 0, 0, 0]], bool)
+    h1 = np.asarray(encode(p, jnp.asarray(seq), jnp.asarray(mask)))
+    seq2 = seq.copy()
+    seq2[0, 5] = 17  # padded position: must not affect the session vector
+    h2 = np.asarray(encode(p, jnp.asarray(seq2), jnp.asarray(mask)))
+    np.testing.assert_allclose(h1, h2, atol=1e-6)
