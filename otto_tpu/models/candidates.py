@@ -171,7 +171,11 @@ def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, 
     g_clickcart = gather_neighbors(t_clickcart[:, :wide_k], clickcart)
     g_cartorder = gather_neighbors(t_cartorder[:, :wide_k], clickcart)
     if with_ft:
-        ft_list = gather_neighbors(ft_table, aids[:, -1:])
+        # last event sits at column min(len,L)-1 (pack keep='last' left-aligns
+        # short sessions); column -1 would read padding for short sessions
+        clipped = jnp.sum(mask, axis=1).astype(jnp.int32)
+        last_aid = jnp.take_along_axis(aids, jnp.maximum(clipped - 1, 0)[:, None], axis=1)
+        ft_list = gather_neighbors(ft_table, last_aid)
     else:
         ft_list = jnp.full((S, 0), -1, jnp.int32)
 

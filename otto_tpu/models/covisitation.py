@@ -217,8 +217,20 @@ def _concat_cols(*arrays):
     return jnp.concatenate(arrays, axis=1)
 
 
+def _derive_mask_last(aids, lengths):
+    """Right-padded packing (EventStore.pack keep='last'): valid columns are
+    0..min(len,L)-1 and the last event sits at column min(len,L)-1.  Deriving
+    these on device avoids shipping the bool mask across the host->device
+    link (0.5 MB per 2048x256 chunk on the tunneled platform)."""
+    L = aids.shape[1]
+    clipped = jnp.minimum(lengths, L).astype(jnp.int32)
+    mask = jnp.arange(L, dtype=jnp.int32)[None, :] < clipped[:, None]
+    last = jnp.take_along_axis(aids, jnp.maximum(clipped - 1, 0)[:, None], axis=1)
+    return mask, last
+
+
 def _covisit_route(
-    aids, types, mask, tables, stats_top, uniq_cap: int, narrow_k: int, k: int
+    aids, types, lengths, tables, stats_top, uniq_cap: int, narrow_k: int, k: int
 ):
     """Batched covisitation-vote route for one chunk of sessions.
 
@@ -228,6 +240,7 @@ def _covisit_route(
     orders (inference.py:215-236).  The fasttext neighbor list arrives via
     ``tables['fasttext']`` when an embedding model is attached.
     """
+    mask, last_aid = _derive_mask_last(aids, lengths)
     uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
     clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
     cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
@@ -239,7 +252,7 @@ def _covisit_route(
     g_cartorder = gather_neighbors(tables["cart_order"][:, :narrow_k], clickcart)
     fts = tables.get("fasttext")
     ft_list = (
-        gather_neighbors(fts, aids[:, -1:])
+        gather_neighbors(fts, last_aid)
         if fts is not None
         else jnp.full((aids.shape[0], 0), -1, jnp.int32)
     )
@@ -255,18 +268,19 @@ def _covisit_route(
         top, _ = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k)
         filtered = compact_rows(mask_members(top, uniq_recent))
         out[etype] = concat_unique_cascade(
-            uniq_recent[:, :k], filtered, jnp.asarray(stats_top[etype][:k]), k
+            uniq_recent[:, :k], filtered, jnp.asarray(stats_top[etype])[:k], k
         )
     return out
 
 
 def _recency_route(
-    aids, types, mask, lengths, tables, uniq_cap: int, narrow_k: int, k: int
+    aids, types, lengths, tables, uniq_cap: int, narrow_k: int, k: int
 ):
     """Batched typed-recency route (inference.py:143-199): per-type log-recency
     weights x coefficients {1,9,6}, +bonus votes from fastText neighbors of the
     last aid and one covisitation table per type."""
     S, L = aids.shape
+    mask, last_aid = _derive_mask_last(aids, lengths)
     clipped = jnp.sum(mask, axis=1)
     offset = (lengths - clipped)[:, None].astype(jnp.float32)
     col = jnp.arange(L, dtype=jnp.float32)[None, :]
@@ -279,7 +293,7 @@ def _recency_route(
 
     fts = tables.get("fasttext")
     ft_list = (
-        gather_neighbors(fts, aids[:, -1:])
+        gather_neighbors(fts, last_aid)
         if fts is not None
         else jnp.full((S, 0), -1, jnp.int32)
     )
@@ -322,6 +336,8 @@ def covisit_heuristic_predictions(
     ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
     embedding model (replaces the reference's Annoy index; neighbors must
     already exclude the query aid itself)."""
+    import jax
+
     counts = session_unique_counts(store)
     packed = store.pack(max_len=max_len, keep="last")
     S = store.n_sessions
@@ -329,10 +345,22 @@ def covisit_heuristic_predictions(
     tables = {kind: jnp.asarray(t[0]) for kind, t in matrices.tables.items()}
     if ft_neighbors is not None:
         tables["fasttext"] = jnp.asarray(ft_neighbors)
+    stats_dev = {etype: jnp.asarray(stats_top[etype][:k]) for etype in EVENT_TYPES}
+
+    # One jitted program per route: eager dispatch costs one host->device
+    # round trip per op, which dominates on the tunneled platform; under jit
+    # the whole route is a single dispatch.  Tables ride as pytree arguments
+    # (not closure constants) so they are not baked into the executable.
+    cov_fn = jax.jit(
+        lambda a, t, lens, tb, st: _covisit_route(a, t, lens, tb, st, unique_cap, narrow_k, k)
+    )
+    rec_fn = jax.jit(
+        lambda a, t, lens, tb: _recency_route(a, t, lens, tb, unique_cap, narrow_k, k)
+    )
 
     preds = {etype: np.full((S, k), -1, np.int32) for etype in EVENT_TYPES}
 
-    def run_route(route_fn, idx, extra):
+    def run_route(route_fn, idx):
         for start in range(0, len(idx), chunk_sessions):
             sel = idx[start : start + chunk_sessions]
             pad = chunk_sessions - len(sel)
@@ -340,10 +368,7 @@ def covisit_heuristic_predictions(
             res = route_fn(
                 jnp.asarray(packed.aids[sel_p]),
                 jnp.asarray(packed.types[sel_p]),
-                jnp.asarray(packed.mask[sel_p]) if pad == 0 else jnp.asarray(
-                    np.concatenate([packed.mask[sel], np.zeros((pad, packed.max_len), bool)])
-                ),
-                *extra(sel_p),
+                jnp.asarray(packed.lengths[sel_p]),
             )
             for etype in EVENT_TYPES:
                 preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
@@ -357,17 +382,7 @@ def covisit_heuristic_predictions(
     )
 
     if len(cov_idx):
-        run_route(
-            lambda a, t, m: _covisit_route(a, t, m, tables, stats_top, unique_cap, narrow_k, k),
-            cov_idx,
-            lambda sel: (),
-        )
+        run_route(lambda a, t, lens: cov_fn(a, t, lens, tables, stats_dev), cov_idx)
     if len(rec_idx):
-        run_route(
-            lambda a, t, m, lens: _recency_route(
-                a, t, m, lens, tables, unique_cap, narrow_k, k
-            ),
-            rec_idx,
-            lambda sel: (jnp.asarray(packed.lengths[sel]),),
-        )
+        run_route(lambda a, t, lens: rec_fn(a, t, lens, tables), rec_idx)
     return preds

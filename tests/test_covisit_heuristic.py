@@ -124,3 +124,28 @@ def test_unique_counts(setup):
     for s in range(50):
         lo, hi = es.offsets[s], es.offsets[s + 1]
         assert counts[s] == len(set(es.aid[lo:hi].tolist()))
+
+
+def test_fasttext_bonus_uses_true_last_aid():
+    """Regression: short sessions are left-aligned in the packed layout, so
+    the last aid lives at column len-1 (NOT column -1, which is padding aid
+    0).  The fastText neighbor bonus must query the true last aid."""
+    from otto_tpu.data.events import EventStore
+
+    # one session [7, 8, 9]; n_aids small
+    es = EventStore.from_flat(
+        np.array([1, 1, 1]), np.array([7, 8, 9]), np.arange(3), np.zeros(3, np.int8)
+    )
+    tables = build_covisitation(es, 64, CovisitConfig(top_k_wide=8, top_k_narrow=8))
+    # neighbor table: aid 9 -> 42, aid 0 -> 13
+    ft = np.full((64, 1), -1, np.int32)
+    ft[9, 0] = 42
+    ft[0, 0] = 13
+    stats = {t: np.zeros(20, np.int32) for t in EVENT_TYPES}
+    preds = covisit_heuristic_predictions(
+        es, tables, stats, ft_neighbors=ft, max_len=8, chunk_sessions=4
+    )
+    for t in EVENT_TYPES:
+        row = preds[t][0].tolist()
+        assert 42 in row, (t, row)
+        assert 13 not in row, (t, row)
