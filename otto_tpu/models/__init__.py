@@ -12,7 +12,13 @@ from otto_tpu.models.candidates import (
     recency_candidates,
     regular_candidates,
 )
-from otto_tpu.models.embeddings import SGNSModel, embedding_knn_predictions, train_sgns
+from otto_tpu.models.embeddings import (
+    SGNSModel,
+    SessionEmbeddingModel,
+    embedding_knn_predictions,
+    session_embeddings,
+    train_sgns,
+)
 from otto_tpu.models.matrix_factorization import CFModel, MFModel, train_cf, train_mf
 from otto_tpu.models.sequence import SequenceModel, sequence_serving_predictions, train_sequence_model
 from otto_tpu.models.tfidf import TfIdfModel
@@ -24,7 +30,8 @@ __all__ = [
     "CovisitationMatrices", "build_covisitation", "covisit_heuristic_predictions",
     "CandidateSet", "covisit_candidates", "embedding_candidates",
     "recency_candidates", "regular_candidates",
-    "SGNSModel", "embedding_knn_predictions", "train_sgns",
+    "SGNSModel", "SessionEmbeddingModel", "embedding_knn_predictions",
+    "session_embeddings", "train_sgns",
     "CFModel", "MFModel", "train_cf", "train_mf",
     "SequenceModel", "sequence_serving_predictions", "train_sequence_model",
     "TfIdfModel", "RankerData", "RankerModel", "train_ranker",

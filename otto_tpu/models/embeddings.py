@@ -327,3 +327,69 @@ def embedding_knn_predictions(
             row = (uniq + nns)[:k]
             preds[s, : len(row)] = row
     return {etype: preds for etype in EVENT_TYPES}
+
+
+# ---------------------------------------------------------------------------
+# Doc2Vec analog: dense session vectors pooled from the trained item table
+# (the reference trains gensim Doc2Vec session embeddings as one of its three
+# gensim_fasttext trainer modes, src/gensim_fasttext/trainer.py:41-59).
+# Instead of a separately-trained document table, session vectors are
+# recency-weighted means of SGNS item embeddings — one segment-sum — and
+# similar sessions come from the same exact MXU top-k scan that replaces
+# Annoy.
+# ---------------------------------------------------------------------------
+
+
+def session_embeddings(
+    store, item_emb: np.ndarray, weighting: str = "recency"
+) -> np.ndarray:
+    """L2-normalized pooled session vectors [S, d].
+
+    weighting='recency' uses the reference's logspace(0.1, 1, base 2) - 1
+    recency profile per session; 'mean' is uniform."""
+    S = store.n_sessions
+    d = item_emb.shape[1]
+    lengths = store.lengths.astype(np.float64)
+    pos = store.position_in_session.astype(np.float64)
+    if weighting == "recency":
+        n = lengths[store.session_idx]
+        lo, hi = 0.1, 1.0
+        expo = np.where(n > 1, lo + (hi - lo) * pos / np.maximum(n - 1, 1), hi)
+        w = (np.power(2.0, expo) - 1.0).astype(np.float32)
+    elif weighting == "mean":
+        w = np.ones(store.n_events, np.float32)
+    else:
+        raise ValueError(weighting)
+    vec = np.zeros((S, d), np.float32)
+    np.add.at(vec, store.session_idx, item_emb[store.aid] * w[:, None])
+    norms = np.linalg.norm(vec, axis=1, keepdims=True)
+    return vec / np.maximum(norms, 1e-9)
+
+
+@dataclass
+class SessionEmbeddingModel:
+    """Similar-session recommender over pooled session vectors (Doc2Vec
+    analog; retrieval mirrors src/tfidf/inference.py:83-96's
+    similar-session aid gathering)."""
+
+    vectors: np.ndarray  # [S_corpus, d] normalized
+    corpus: object  # EventStore
+    item_emb: np.ndarray
+    weighting: str = "recency"
+
+    @classmethod
+    def fit(cls, corpus, item_emb: np.ndarray, weighting: str = "recency"):
+        return cls(session_embeddings(corpus, item_emb, weighting), corpus,
+                   item_emb, weighting)
+
+    def similar_session_predictions(
+        self, queries, n_similar: int = 5, k: int = TOP_K, query_batch: int = 4096
+    ) -> dict[str, np.ndarray]:
+        from otto_tpu.models.tfidf import retrieve_similar_session_aids
+
+        qv = session_embeddings(queries, self.item_emb, self.weighting)
+        preds = retrieve_similar_session_aids(
+            qv, self.vectors, self.corpus, n_similar=n_similar, k=k,
+            query_batch=query_batch,
+        )
+        return {etype: preds for etype in EVENT_TYPES}

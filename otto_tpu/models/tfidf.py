@@ -86,28 +86,47 @@ class TfIdfModel:
         """For each query session, gather aids of its most similar corpus
         sessions (most-recent-first within each) as predictions."""
         qv = session_vectors(queries, self.n_aids, self.vectors.shape[1])
-        S = queries.n_sessions
-        preds = np.full((S, k), -1, np.int32)
-        packed = self.corpus.pack(max_len=k, keep="last")
-        for start in range(0, S, query_batch):
-            end = min(start + query_batch, S)
-            import jax.numpy as jnp
-
-            s, i = topk_scan(
-                jnp.asarray(qv[start:end]), jnp.asarray(self.vectors), k=n_similar,
-                block=16384, metric="dot",
-            )
-            i = np.asarray(i)
-            for r in range(end - start):
-                seen: list[int] = []
-                seen_set = set()
-                for sim in i[r]:
-                    row = packed.aids[sim][packed.mask[sim]][::-1]
-                    for a in row:
-                        if int(a) not in seen_set:
-                            seen.append(int(a))
-                            seen_set.add(int(a))
-                    if len(seen) >= k:
-                        break
-                preds[start + r, : min(len(seen), k)] = seen[:k]
+        preds = retrieve_similar_session_aids(
+            qv, self.vectors, self.corpus, n_similar=n_similar, k=k,
+            query_batch=query_batch,
+        )
         return {etype: preds for etype in EVENT_TYPES}
+
+
+def retrieve_similar_session_aids(
+    query_vectors: np.ndarray,
+    corpus_vectors: np.ndarray,
+    corpus: EventStore,
+    n_similar: int = 5,
+    k: int = TOP_K,
+    query_batch: int = 4096,
+) -> np.ndarray:
+    """Shared similar-session retrieval: exact top-``n_similar`` corpus
+    sessions per query (MXU dot-product scan), then each query's predictions
+    are the deduped aids of its similar sessions, most-recent-first."""
+    import jax.numpy as jnp
+
+    S = query_vectors.shape[0]
+    preds = np.full((S, k), -1, np.int32)
+    packed = corpus.pack(max_len=k, keep="last")
+    corpus_dev = jnp.asarray(corpus_vectors)
+    for start in range(0, S, query_batch):
+        end = min(start + query_batch, S)
+        _, i = topk_scan(
+            jnp.asarray(query_vectors[start:end]), corpus_dev, k=n_similar,
+            block=16384, metric="dot",
+        )
+        i = np.asarray(i)
+        for r in range(end - start):
+            seen: list[int] = []
+            seen_set = set()
+            for sim in i[r]:
+                row = packed.aids[sim][packed.mask[sim]][::-1]
+                for a in row:
+                    if int(a) not in seen_set:
+                        seen.append(int(a))
+                        seen_set.add(int(a))
+                if len(seen) >= k:
+                    break
+            preds[start + r, : min(len(seen), k)] = seen[:k]
+    return preds

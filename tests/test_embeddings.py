@@ -91,3 +91,42 @@ def test_sgns_checkpoint_resume(tmp_path):
     resumed = train_sgns(es, 30, cfg, checkpoint_dir=ck)
 
     np.testing.assert_allclose(resumed.w_in, full.w_in, rtol=1e-5, atol=1e-6)
+
+
+def test_session_embedding_model_recovers_cluster():
+    # Doc2Vec analog: two disjoint aid vocabularies with separable item
+    # embeddings; similar-session retrieval must stay within the query's half
+    import numpy as np
+
+    from otto_tpu.data.events import EventStore
+    from otto_tpu.models.embeddings import SessionEmbeddingModel, session_embeddings
+
+    rng = np.random.default_rng(0)
+    S, L = 200, 8
+    sess = np.repeat(np.arange(S), L)
+    half = (np.arange(S) % 2).repeat(L)
+    aid = np.where(half == 0, rng.integers(0, 20, S * L), rng.integers(20, 40, S * L))
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    # synthetic item table: the two halves live in orthogonal subspaces
+    item_emb = np.zeros((40, 8), np.float32)
+    item_emb[:20, :4] = rng.normal(size=(20, 4))
+    item_emb[20:, 4:] = rng.normal(size=(20, 4))
+
+    vecs = session_embeddings(es, item_emb)
+    assert vecs.shape == (S, 8)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+
+    model = SessionEmbeddingModel.fit(es, item_emb)
+    queries = es.select_sessions(np.arange(0, 20))
+    preds = model.similar_session_predictions(queries, n_similar=3, k=10, query_batch=32)
+    correct = total = 0
+    for r in range(20):
+        own_half = r % 2
+        for a in preds["clicks"][r]:
+            if a < 0:
+                continue
+            total += 1
+            correct += (a < 20) == (own_half == 0)
+    assert total > 0
+    assert correct / total > 0.9
