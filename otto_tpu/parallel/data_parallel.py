@@ -43,3 +43,42 @@ def make_dp_ranker_step(mesh: Mesh, optimizer, loss_name: str = "lambdarank",
         )(params, opt_state, x, y, m, key)
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_dp_sequence_step(mesh: Mesh, optimizer, data_axis: str = "data"):
+    """Data-parallel training step for the sequential recommender (GRU or
+    transformer — dispatch follows the param pytree): the (seq, mask, target,
+    negatives) batch shards over the ``data`` axis, parameters replicate,
+    gradients pmean over ICI.  Same sampled-softmax objective as
+    models.sequence.train_sequence_model."""
+    import jax.numpy as jnp
+
+    from otto_tpu.models.sequence import encode
+
+    def step(params, opt_state, seq, mask, tgt, negs):
+        def local(params, opt_state, seq, mask, tgt, negs):
+            def f(p):
+                h = encode(p, seq, mask)
+                pos_e = p["item_emb"][tgt]
+                neg_e = p["item_emb"][negs]
+                pos_logit = jnp.sum(h * pos_e, axis=1)
+                neg_logit = jnp.einsum("bd,bnd->bn", h, neg_e)
+                logits = jnp.concatenate([pos_logit[:, None], neg_logit], axis=1)
+                return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+            loss, grads = jax.value_and_grad(f)(params)
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, opt_state, seq, mask, tgt, negs)
+
+    return jax.jit(step, donate_argnums=(0, 1))

@@ -119,3 +119,49 @@ def test_host_shard_sessions_partition():
     allidx = np.concatenate(parts)
     np.testing.assert_array_equal(np.sort(allidx), np.arange(103))
     assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 26
+
+
+def test_dp_sequence_step_matches_single_device():
+    """DP sequence training over the 8-device mesh computes the same loss and
+    params as a single-device step on the full batch (both architectures)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.models.sequence import encode, init_params
+    from otto_tpu.parallel.data_parallel import make_dp_sequence_step
+    from otto_tpu.parallel.mesh import make_mesh
+
+    for arch in ("gru", "transformer"):
+        mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+        params = init_params(jax.random.PRNGKey(0), 40, 16, 8, architecture=arch,
+                             max_len=6, n_layers=1, n_heads=2)
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+        rng = np.random.default_rng(0)
+        B, L, NEG = 16, 6, 4
+        seq = jnp.asarray(rng.integers(0, 40, (B, L)).astype(np.int32))
+        mask = jnp.asarray(np.ones((B, L), bool))
+        tgt = jnp.asarray(rng.integers(0, 40, B).astype(np.int32))
+        negs = jnp.asarray(rng.integers(0, 40, (B, NEG)).astype(np.int32))
+
+        step = make_dp_sequence_step(mesh, optimizer)
+        p2, _, loss = step(jax.tree.map(jnp.copy, params), opt_state, seq, mask, tgt, negs)
+
+        # single-device oracle
+        def f(p):
+            h = encode(p, seq, mask)
+            pos = jnp.sum(h * p["item_emb"][tgt], axis=1)
+            neg = jnp.einsum("bd,bnd->bn", h, p["item_emb"][negs])
+            logits = jnp.concatenate([pos[:, None], neg], axis=1)
+            return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+        ref_loss, grads = jax.value_and_grad(f)(params)
+        updates, _ = optimizer.update(grads, optimizer.init(params), params)
+        ref_params = optax.apply_updates(params, updates)
+
+        assert abs(float(loss) - float(ref_loss)) < 1e-4, arch
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
