@@ -100,6 +100,111 @@ def run_covisit_heuristic(
     return BaselineResult(preds, report)
 
 
+def run_tfidf(
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    labels: SessionLabels | None = None,
+    k: int = TOP_K,
+) -> BaselineResult:
+    """TF-IDF similar-session recommender (reference: src/tfidf/inference.py)."""
+    from otto_tpu.models.tfidf import TfIdfModel
+
+    model = TfIdfModel.fit(train, n_aids=n_aids)
+    preds = model.similar_session_predictions(target, k=k)
+    report = None
+    if labels is not None:
+        report = evaluate_predictions(labels, preds["clicks"], preds["carts"], preds["orders"])
+        log.info("tfidf validation scores\n%s", report)
+    return BaselineResult(preds, report)
+
+
+def run_sequence(
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    labels: SessionLabels | None = None,
+    k: int = TOP_K,
+    config_path: str | None = None,
+) -> BaselineResult:
+    """Sequential recommender with 3-way serving routing (reference:
+    src/recbole/{trainer,inference}.py)."""
+    from otto_tpu.config import SequenceModelConfig
+    from otto_tpu.models.sequence import sequence_serving_predictions, train_sequence_model
+
+    cfg = (SequenceModelConfig.from_yaml(config_path) if config_path
+           else SequenceModelConfig()).replace(n_aids=n_aids)
+    model = train_sequence_model(train, cfg)
+    seen = np.zeros(n_aids, bool)
+    seen[train.aid] = True
+    preds = sequence_serving_predictions(target, model, trained_aid_mask=seen, k=k)
+    report = None
+    if labels is not None:
+        report = evaluate_predictions(labels, preds["clicks"], preds["carts"], preds["orders"])
+        log.info("sequence (%s) validation scores\n%s", cfg.architecture, report)
+    return BaselineResult(preds, report)
+
+
+def run_embedding_knn(
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    labels: SessionLabels | None = None,
+    k: int = TOP_K,
+    config_path: str | None = None,
+) -> BaselineResult:
+    """SGNS embeddings + kNN serving (reference: src/gensim_fasttext/
+    {trainer,inference}.py; n_nns=21 validation / 101 submission)."""
+    from otto_tpu.config import SGNSConfig
+    from otto_tpu.models.embeddings import embedding_knn_predictions, train_sgns
+
+    cfg = SGNSConfig.from_yaml(config_path) if config_path else SGNSConfig()
+    sgns = train_sgns(train, n_aids, cfg)
+    n_nns = 21 if labels is not None else 101
+    table = sgns.neighbor_table(k=n_nns)
+    preds = embedding_knn_predictions(target, table, k=k)
+    report = None
+    if labels is not None:
+        report = evaluate_predictions(labels, preds["clicks"], preds["carts"], preds["orders"])
+        log.info("embedding-knn validation scores\n%s", report)
+    return BaselineResult(preds, report)
+
+
+def run_doc2vec(
+    train: EventStore,
+    target: EventStore,
+    n_aids: int,
+    labels: SessionLabels | None = None,
+    k: int = TOP_K,
+    config_path: str | None = None,
+) -> BaselineResult:
+    """Doc2Vec analog: pooled session embeddings + similar-session retrieval
+    (reference: gensim Doc2Vec mode of src/gensim_fasttext/trainer.py:41-59)."""
+    from otto_tpu.config import SGNSConfig
+    from otto_tpu.models.embeddings import SessionEmbeddingModel, train_sgns
+
+    cfg = SGNSConfig.from_yaml(config_path) if config_path else SGNSConfig()
+    sgns = train_sgns(train, n_aids, cfg)
+    model = SessionEmbeddingModel.fit(train, sgns.embeddings)
+    preds = model.similar_session_predictions(target, k=k)
+    report = None
+    if labels is not None:
+        report = evaluate_predictions(labels, preds["clicks"], preds["carts"], preds["orders"])
+        log.info("doc2vec-analog validation scores\n%s", report)
+    return BaselineResult(preds, report)
+
+
+MODEL_RUNNERS = {
+    "aid_frequency": run_aid_frequency,
+    "aid_weight": run_aid_weight,
+    "covisitation": run_covisit_heuristic,
+    "tfidf": run_tfidf,
+    "sequence": run_sequence,
+    "embedding_knn": run_embedding_knn,
+    "doc2vec": run_doc2vec,
+}
+
+
 def main(argv=None):
     import argparse
 
@@ -109,7 +214,9 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(prog="otto_tpu.pipelines")
     parser.add_argument(
-        "model", choices=["aid_frequency", "aid_weight", "covisitation", "two_stage"]
+        "model",
+        choices=["aid_frequency", "aid_weight", "covisitation", "two_stage",
+                 "tfidf", "sequence", "embedding_knn", "doc2vec"],
     )
     parser.add_argument("mode", choices=["validation", "submission"])
     parser.add_argument("--events", required=True,
@@ -118,6 +225,8 @@ def main(argv=None):
     parser.add_argument("--n-aids", type=int, default=DataConfig().n_aids)
     parser.add_argument("--val-fraction", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--config", default=None,
+                        help="model YAML (sequence / embedding_knn / doc2vec)")
     args = parser.parse_args(argv)
 
     if str(args.events).endswith(".jsonl"):
@@ -127,29 +236,29 @@ def main(argv=None):
     else:
         store = EventStore.from_parquet(args.events)
 
-    if args.mode == "validation":
-        sp = splits.split_by_fraction(store, val_fraction=args.val_fraction, seed=args.seed)
-        if args.model == "aid_frequency":
-            result = run_aid_frequency(sp.train, sp.val_input, args.n_aids, sp.val_labels)
-        elif args.model == "aid_weight":
-            result = run_aid_weight(sp.val_input, sp.val_labels)
-        elif args.model == "covisitation":
-            result = run_covisit_heuristic(sp.train, sp.val_input, args.n_aids, sp.val_labels)
-        else:
+    def dispatch(train, target, labels):
+        if args.model == "two_stage":
+            if labels is None:
+                raise SystemExit(
+                    "two_stage submission mode: use otto_tpu.twostage.predict_two_stage"
+                )
             from otto_tpu.twostage import run_two_stage
 
-            art = run_two_stage(sp.train, sp.val_input, args.n_aids, labels=sp.val_labels)
-            result = BaselineResult(art.predictions, art.report)
+            art = run_two_stage(train, target, args.n_aids, labels=labels)
+            return BaselineResult(art.predictions, art.report)
+        runner = MODEL_RUNNERS[args.model]
+        if args.model == "aid_weight":
+            return runner(target, labels)
+        kw = {"config_path": args.config} if args.model in (
+            "sequence", "embedding_knn", "doc2vec") else {}
+        return runner(train, target, args.n_aids, labels, **kw)
+
+    if args.mode == "validation":
+        sp = splits.split_by_fraction(store, val_fraction=args.val_fraction, seed=args.seed)
+        result = dispatch(sp.train, sp.val_input, sp.val_labels)
         print(result.report)
     else:
-        if args.model == "aid_frequency":
-            result = run_aid_frequency(store, store, args.n_aids)
-        elif args.model == "aid_weight":
-            result = run_aid_weight(store)
-        elif args.model == "covisitation":
-            result = run_covisit_heuristic(store, store, args.n_aids)
-        else:
-            raise SystemExit("two_stage submission mode: use otto_tpu.twostage.predict_two_stage")
+        result = dispatch(store, store, None)
         out = args.output or f"{args.model}_submission.csv.gz"
         submission.write_submission(out, store.session_ids, result.predictions)
         print(f"wrote {out}")

@@ -138,3 +138,25 @@ def test_cli_submission_mode(tmp_path):
     assert len(back["clicks"]) == 200
     # every line has <= 20 predictions
     assert all(len(v) <= 20 for v in back["clicks"].values())
+
+
+def test_cli_new_model_families(tmp_path):
+    """tfidf / doc2vec validation-mode runs through the CLI (the remaining
+    families — sequence, embedding_knn — share the same dispatch path and are
+    covered in-process by their model tests)."""
+    import subprocess, sys, os
+
+    es = synthetic_events(n_sessions=300, n_aids=200, seed=36)
+    p = tmp_path / "events.parquet"
+    es.to_parquet(p)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    for model in ("tfidf", "doc2vec"):
+        r = subprocess.run(
+            [sys.executable, "-m", "otto_tpu.pipelines", model, "validation",
+             "--events", str(p), "--n-aids", "200", "--val-fraction", "0.3"],
+            capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, (model, r.stderr[-2000:])
+        assert "weighted recall@20" in r.stdout, model
