@@ -185,6 +185,8 @@ def build_covisitation(
 # sessions.
 # ---------------------------------------------------------------------------
 
+from functools import partial
+
 import jax
 
 from otto_tpu import EVENT_TYPES, TOP_K
@@ -229,6 +231,30 @@ def _derive_mask_last(aids, lengths):
     return mask, last
 
 
+@partial(jax.jit, static_argnames=("uniq_cap",))
+def _heur_lists(aids, types, lengths, uniq_cap: int):
+    """Per-session source lists shared by both heuristic routes, as one
+    medium-size program (the same granularity as the candidate generator's
+    _session_lists — a single route-level jit wedges this platform's remote
+    compiler, see DESIGN.md §3)."""
+    mask, last_aid = _derive_mask_last(aids, lengths)
+    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
+    click_uniq = sorted_unique_rows(jnp.where(types == 0, aids, -1), mask, uniq_cap)
+    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
+    cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
+    return mask, last_aid, uniq_recent, click_uniq, clickcart, cartorder
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _vote_cascade(vals, uniq_recent, stats_row, k: int):
+    """Vote-count top-k, session-aid exclusion, compaction, and the
+    reference's padding cascade (session aids -> covisit votes -> global
+    frequency, inference.py:238-243) for one event type."""
+    top, _ = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k)
+    filtered = compact_rows(mask_members(top, uniq_recent))
+    return concat_unique_cascade(uniq_recent[:, :k], filtered, stats_row, k)
+
+
 def _covisit_route(
     aids, types, lengths, tables, stats_top, uniq_cap: int, narrow_k: int, k: int
 ):
@@ -240,10 +266,7 @@ def _covisit_route(
     orders (inference.py:215-236).  The fasttext neighbor list arrives via
     ``tables['fasttext']`` when an embedding model is attached.
     """
-    mask, last_aid = _derive_mask_last(aids, lengths)
-    uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
-    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
-    cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
+    _, last_aid, uniq_recent, _, clickcart, _ = _heur_lists(aids, types, lengths, uniq_cap)
 
     g_time = gather_neighbors(tables["time_weighted"][:, :narrow_k], uniq_recent)
     g_clickw = gather_neighbors(tables["click_weighted"][:, :narrow_k], clickcart)
@@ -264,11 +287,8 @@ def _covisit_route(
     }
     out = {}
     for etype in EVENT_TYPES:
-        vals = lists[etype]
-        top, _ = row_weight_topk(vals, jnp.ones_like(vals, jnp.float32), vals >= 0, k)
-        filtered = compact_rows(mask_members(top, uniq_recent))
-        out[etype] = concat_unique_cascade(
-            uniq_recent[:, :k], filtered, jnp.asarray(stats_top[etype])[:k], k
+        out[etype] = _vote_cascade(
+            lists[etype], uniq_recent, jnp.asarray(stats_top[etype])[:k], k
         )
     return out
 
@@ -279,17 +299,10 @@ def _recency_route(
     """Batched typed-recency route (inference.py:143-199): per-type log-recency
     weights x coefficients {1,9,6}, +bonus votes from fastText neighbors of the
     last aid and one covisitation table per type."""
-    S, L = aids.shape
-    mask, last_aid = _derive_mask_last(aids, lengths)
-    clipped = jnp.sum(mask, axis=1)
-    offset = (lengths - clipped)[:, None].astype(jnp.float32)
-    col = jnp.arange(L, dtype=jnp.float32)[None, :]
-    true_pos = offset + col
-    coeff = jnp.asarray(RECENCY_TYPE_COEFF, jnp.float32)[types]
-
-    click_uniq = sorted_unique_rows(jnp.where(types == 0, aids, -1), mask, uniq_cap)
-    clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, uniq_cap)
-    cartorder = sorted_unique_rows(jnp.where(types >= 1, aids, -1), mask, uniq_cap)
+    S = aids.shape[0]
+    mask, last_aid, _, click_uniq, clickcart, cartorder = _heur_lists(
+        aids, types, lengths, uniq_cap
+    )
 
     fts = tables.get("fasttext")
     ft_list = (
@@ -307,16 +320,31 @@ def _recency_route(
 
     out = {}
     for etype in EVENT_TYPES:
-        w_events = recency_weights(lengths, true_pos, mask, lo=lo[etype], hi=1.0) * coeff
-        ft_w = jnp.full(ft_list.shape, FT_BONUS[etype], jnp.float32)
-        bl = bonus_lists[etype]
-        bl_w = jnp.full(bl.shape, COVISIT_BONUS[etype], jnp.float32)
-        vals = _concat_cols(aids, ft_list, bl)
-        ws = _concat_cols(w_events, ft_w, bl_w)
-        valid = _concat_cols(mask, ft_list >= 0, bl >= 0)
-        top, _ = row_weight_topk(vals, ws, valid, k)
-        out[etype] = top
+        out[etype] = _recency_scored_top(
+            aids, types, lengths, mask, ft_list, bonus_lists[etype],
+            FT_BONUS[etype], COVISIT_BONUS[etype], lo[etype], k,
+        )
     return out
+
+
+@partial(jax.jit, static_argnames=("ft_bonus", "cv_bonus", "lo", "k"))
+def _recency_scored_top(aids, types, lengths, mask, ft_list, bonus_list,
+                        ft_bonus: float, cv_bonus: float, lo: float, k: int):
+    """One event type of the recency route: log-recency event weights x type
+    coefficients {1,9,6} plus flat neighbor bonuses, weighted multiset top-k."""
+    L = aids.shape[1]
+    clipped = jnp.sum(mask, axis=1)
+    offset = (lengths - clipped)[:, None].astype(jnp.float32)
+    true_pos = offset + jnp.arange(L, dtype=jnp.float32)[None, :]
+    coeff = jnp.asarray(RECENCY_TYPE_COEFF, jnp.float32)[types]
+    w_events = recency_weights(lengths, true_pos, mask, lo=lo, hi=1.0) * coeff
+    ft_w = jnp.full(ft_list.shape, ft_bonus, jnp.float32)
+    bl_w = jnp.full(bonus_list.shape, cv_bonus, jnp.float32)
+    vals = _concat_cols(aids, ft_list, bonus_list)
+    ws = _concat_cols(w_events, ft_w, bl_w)
+    valid = _concat_cols(mask, ft_list >= 0, bonus_list >= 0)
+    top, _ = row_weight_topk(vals, ws, valid, k)
+    return top
 
 
 def covisit_heuristic_predictions(
@@ -336,8 +364,6 @@ def covisit_heuristic_predictions(
     ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
     embedding model (replaces the reference's Annoy index; neighbors must
     already exclude the query aid itself)."""
-    import jax
-
     counts = session_unique_counts(store)
     packed = store.pack(max_len=max_len, keep="last")
     S = store.n_sessions
@@ -347,31 +373,42 @@ def covisit_heuristic_predictions(
         tables["fasttext"] = jnp.asarray(ft_neighbors)
     stats_dev = {etype: jnp.asarray(stats_top[etype][:k]) for etype in EVENT_TYPES}
 
-    # One jitted program per route: eager dispatch costs one host->device
-    # round trip per op, which dominates on the tunneled platform; under jit
-    # the whole route is a single dispatch.  Tables ride as pytree arguments
-    # (not closure constants) so they are not baked into the executable.
-    cov_fn = jax.jit(
-        lambda a, t, lens, tb, st: _covisit_route(a, t, lens, tb, st, unique_cap, narrow_k, k)
-    )
-    rec_fn = jax.jit(
-        lambda a, t, lens, tb: _recency_route(a, t, lens, tb, unique_cap, narrow_k, k)
-    )
-
+    # Each route runs as a handful of medium-size jitted programs per chunk
+    # (_heur_lists + gathers + one vote/top-k program per event type): a
+    # single route-level jit produces a program too large for this platform's
+    # remote compiler (it wedges — same lesson as the candidate generator's
+    # per-list jits), while fully eager dispatch pays a tunnel round trip per
+    # op.  Only lengths/aids/types cross the link; the mask is derived on
+    # device.
     preds = {etype: np.full((S, k), -1, np.int32) for etype in EVENT_TYPES}
 
+    # Length-bucketed chunking: sessions whose (clipped) length fits in a
+    # narrow width ship as [chunk, width] slices (the keep='last' layout is
+    # left-aligned, so column-slicing is exact for them).  Most OTTO sessions
+    # are short, so this cuts host->device bytes ~8x on the tunneled link at
+    # the cost of one extra compiled shape per op.
+    widths = tuple(w for w in (32, packed.max_len) if w <= packed.max_len)
+
     def run_route(route_fn, idx):
-        for start in range(0, len(idx), chunk_sessions):
-            sel = idx[start : start + chunk_sessions]
-            pad = chunk_sessions - len(sel)
-            sel_p = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
-            res = route_fn(
-                jnp.asarray(packed.aids[sel_p]),
-                jnp.asarray(packed.types[sel_p]),
-                jnp.asarray(packed.lengths[sel_p]),
-            )
-            for etype in EVENT_TYPES:
-                preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
+        clens = np.minimum(store.lengths[idx], packed.max_len)
+        lo = 0
+        for width in widths:
+            sub = idx[(clens > lo) & (clens <= width)]
+            lo = width
+            cap = min(unique_cap, width)
+            for start in range(0, len(sub), chunk_sessions):
+                sel = sub[start : start + chunk_sessions]
+                pad = chunk_sessions - len(sel)
+                sel_p = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
+                res = route_fn(
+                    jnp.asarray(packed.aids[sel_p, :width]),
+                    jnp.asarray(packed.types[sel_p, :width]),
+                    jnp.asarray(np.minimum(packed.lengths[sel_p], width)
+                                if width < packed.max_len else packed.lengths[sel_p]),
+                    cap,
+                )
+                for etype in EVENT_TYPES:
+                    preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
 
     cov_idx = np.flatnonzero(counts < 20)
     rec_idx = np.flatnonzero(counts >= 20)
@@ -382,7 +419,15 @@ def covisit_heuristic_predictions(
     )
 
     if len(cov_idx):
-        run_route(lambda a, t, lens: cov_fn(a, t, lens, tables, stats_dev), cov_idx)
+        run_route(
+            lambda a, t, lens, cap: _covisit_route(
+                a, t, lens, tables, stats_dev, cap, narrow_k, k
+            ),
+            cov_idx,
+        )
     if len(rec_idx):
-        run_route(lambda a, t, lens: rec_fn(a, t, lens, tables), rec_idx)
+        run_route(
+            lambda a, t, lens, cap: _recency_route(a, t, lens, tables, cap, narrow_k, k),
+            rec_idx,
+        )
     return preds
