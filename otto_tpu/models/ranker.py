@@ -213,12 +213,17 @@ class RankerModel:
         np.savez_compressed(
             path, __n_folds=len(self.params_per_fold),
             __mean=self.normalizer.mean, __std=self.normalizer.std,
-            __logcols=self.normalizer.log_cols, **flat,
+            __logcols=self.normalizer.log_cols,
+            __features=np.asarray(self.feature_names, dtype=object),
+            __fold_recalls=np.asarray(self.fold_recalls, np.float64),
+            __oof=np.float64(self.oof_recall),
+            __prior_alpha=np.float64(self.prior_alpha),
+            **flat,
         )
 
     @classmethod
     def load(cls, path, config: RankerConfig = RankerConfig()):
-        z = np.load(path)
+        z = np.load(path, allow_pickle=True)
         n = int(z["__n_folds"])
         params = []
         for i in range(n):
@@ -230,6 +235,10 @@ class RankerModel:
             params,
             FeatureNormalizer(z["__mean"], z["__std"], z["__logcols"]),
             config,
+            feature_names=[str(f) for f in z["__features"]] if "__features" in z.files else [],
+            fold_recalls=list(z["__fold_recalls"]) if "__fold_recalls" in z.files else [],
+            oof_recall=float(z["__oof"]) if "__oof" in z.files else float("nan"),
+            prior_alpha=float(z["__prior_alpha"]) if "__prior_alpha" in z.files else float("nan"),
         )
 
 

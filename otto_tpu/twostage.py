@@ -100,6 +100,46 @@ class TwoStageArtifacts:
     report: RecallReport | None
     max_recall: dict[str, float] = field(default_factory=dict)
 
+    def save(self, directory) -> None:
+        """Persist everything needed to re-score new sessions (the
+        reference's per-stage artifact files, SURVEY §5.3-5.4: every stage
+        persists so reruns resume from the last file)."""
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        (d / "covisitation").mkdir(parents=True, exist_ok=True)
+        self.matrices.save(d / "covisitation")
+        if self.sgns is not None:
+            self.sgns.save(d / "sgns.npz")
+        for name, model in self.rankers.items():
+            model.save(d / f"ranker_{name}.npz")
+        np.savez_compressed(d / "predictions.npz", **self.predictions)
+        meta = {
+            "ranker_names": sorted(self.rankers),
+            "has_sgns": self.sgns is not None,
+            "max_recall": self.max_recall,
+        }
+        (d / "meta.json").write_text(json.dumps(meta, indent=1))
+
+    @classmethod
+    def load(cls, directory, ranker_config: RankerConfig = RankerConfig()) -> "TwoStageArtifacts":
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        meta = json.loads((d / "meta.json").read_text())
+        matrices = CovisitationMatrices.load(d / "covisitation")
+        sgns = SGNSModel.load(d / "sgns.npz") if meta["has_sgns"] else None
+        rankers = {
+            name: RankerModel.load(d / f"ranker_{name}.npz", ranker_config)
+            for name in meta["ranker_names"]
+        }
+        z = np.load(d / "predictions.npz")
+        preds = {k: z[k] for k in z.files}
+        return cls(matrices, sgns, None, rankers, preds, None,
+                   max_recall=meta["max_recall"])
+
 
 def _recall_eval_fn(labels: SessionLabels, candidates: np.ndarray, etype: str):
     """eval_recall callback for train_ranker: corpus recall@20 of the top-20

@@ -89,3 +89,27 @@ def test_dual_tower_blend():
     # both towers trained per event type
     assert "clicks" in art.rankers and "clicks_b" in art.rankers
     assert art.report is not None and 0 <= art.report.weighted <= 1
+
+
+def test_artifacts_save_load_roundtrip(artifacts, tmp_path):
+    """Persisted artifacts reproduce submission-mode predictions exactly
+    (the reference's per-stage file persistence, SURVEY §5.3-5.4)."""
+    es, sp, art = artifacts
+    from otto_tpu.twostage import TwoStageArtifacts
+
+    d = tmp_path / "artifacts"
+    art.save(d)
+    loaded = TwoStageArtifacts.load(d)
+
+    assert sorted(loaded.rankers) == sorted(art.rankers)
+    for name in art.rankers:
+        assert np.isclose(loaded.rankers[name].prior_alpha, art.rankers[name].prior_alpha,
+                          equal_nan=True)
+    for t in art.predictions:
+        np.testing.assert_array_equal(loaded.predictions[t], art.predictions[t])
+
+    unseen = es.select_sessions(np.arange(es.n_sessions - 60, es.n_sessions))
+    p1 = predict_two_stage(art, sp.train, unseen, n_aids=500, uniq_cap=32, k_covisit=50)
+    p2 = predict_two_stage(loaded, sp.train, unseen, n_aids=500, uniq_cap=32, k_covisit=50)
+    for t in p1:
+        np.testing.assert_array_equal(p1[t], p2[t])
