@@ -142,28 +142,39 @@ def _vote_block(vals, uniq_recent, k_covisit):
 
 
 @partial(jax.jit, static_argnames=("uniq_cap", "vote_cap"))
-def _session_lists(aids, types, mask, uniq_cap, vote_cap):
+def _session_lists(aids, types, lengths, uniq_cap, vote_cap):
+    """Derives the validity mask and last aid on device (pack keep='last'
+    left-aligns short sessions: valid cols 0..min(len,L)-1, last event at
+    column min(len,L)-1 — column -1 would read padding)."""
+    L = aids.shape[1]
+    clipped = jnp.minimum(lengths, L).astype(jnp.int32)
+    mask = jnp.arange(L, dtype=jnp.int32)[None, :] < clipped[:, None]
+    last_aid = jnp.take_along_axis(aids, jnp.maximum(clipped - 1, 0)[:, None], axis=1)
     uniq_recent = distinct_recent_first(aids, mask, k=uniq_cap)
     clickcart = sorted_unique_rows(jnp.where(types <= 1, aids, -1), mask, min(vote_cap, uniq_cap))
     n_uniq = jnp.sum(uniq_recent >= 0, axis=1)
     col = jnp.arange(uniq_cap, dtype=jnp.float32)[None, :]
     hist_scores = jnp.where(uniq_recent >= 0, n_uniq[:, None].astype(jnp.float32) - col, 0.0)
-    return uniq_recent, clickcart, hist_scores
+    return uniq_recent, clickcart, hist_scores, last_aid
 
 
-def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit,
+def _regular_chunk(aids, types, lengths, tables_tuple, ft_table, uniq_cap, wide_k, k_covisit,
                    with_ft, vote_cap=32):
     """One chunk of the regular generator: returns per-type (candidates,
-    scores) of width uniq_cap + k_covisit.
+    scores) of width uniq_cap + k_covisit regardless of the chunk's packed
+    width L (narrow chunks pad their history section with -1 columns).
 
     ``vote_cap`` bounds the per-session source lists feeding the vote gathers
     (the concatenated row width drives the row-sort compile cost
     superlinearly; sessions with more than vote_cap distinct source aids are
     rare and lose only their least-recent vote sources)."""
     (t_time, t_clickw, t_cartw, t_clickcart, t_cartorder) = tables_tuple
-    S = aids.shape[0]
-    uniq_recent, clickcart, hist_scores = _session_lists(aids, types, mask, uniq_cap, vote_cap)
-    vote_src = uniq_recent[:, : min(vote_cap, uniq_cap)]
+    S, L = aids.shape
+    list_cap = min(uniq_cap, L)  # a session of <= L events has <= L distinct aids
+    uniq_recent, clickcart, hist_scores, last_aid = _session_lists(
+        aids, types, lengths, list_cap, vote_cap
+    )
+    vote_src = uniq_recent[:, : min(vote_cap, list_cap)]
 
     g_time = gather_neighbors(t_time[:, :wide_k], vote_src)
     g_clickw = gather_neighbors(t_clickw[:, :wide_k], clickcart)
@@ -171,10 +182,6 @@ def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, 
     g_clickcart = gather_neighbors(t_clickcart[:, :wide_k], clickcart)
     g_cartorder = gather_neighbors(t_cartorder[:, :wide_k], clickcart)
     if with_ft:
-        # last event sits at column min(len,L)-1 (pack keep='last' left-aligns
-        # short sessions); column -1 would read padding for short sessions
-        clipped = jnp.sum(mask, axis=1).astype(jnp.int32)
-        last_aid = jnp.take_along_axis(aids, jnp.maximum(clipped - 1, 0)[:, None], axis=1)
         ft_list = gather_neighbors(ft_table, last_aid)
     else:
         ft_list = jnp.full((S, 0), -1, jnp.int32)
@@ -187,10 +194,20 @@ def _regular_chunk(aids, types, mask, tables_tuple, ft_table, uniq_cap, wide_k, 
         "orders": jnp.concatenate([g_time, g_cartw, g_cartorder, ft_list], axis=1),
     }
 
+    # pad the history section to uniq_cap so the [history | covisit] column
+    # layout is identical for every packed width (the history section is
+    # already -1-padded internally, so extra -1 columns are transparent)
+    pad_cols = uniq_cap - list_cap
+    if pad_cols:
+        uniq_hist = jnp.pad(uniq_recent, ((0, 0), (0, pad_cols)), constant_values=-1)
+        hist_scores = jnp.pad(hist_scores, ((0, 0), (0, pad_cols)))
+    else:
+        uniq_hist = uniq_recent
+
     out = {}
     for etype in EVENT_TYPES:
         filt, filt_scores = _vote_block(lists[etype], uniq_recent, k_covisit)
-        cands = jnp.concatenate([uniq_recent, filt], axis=1)
+        cands = jnp.concatenate([uniq_hist, filt], axis=1)
         scores = jnp.concatenate([hist_scores, filt_scores], axis=1)
         out[etype] = (cands, scores)
     return out
@@ -241,16 +258,32 @@ def regular_candidates(
     with_ft = ft_neighbors is not None
     ft = jnp.asarray(ft_neighbors) if with_ft else jnp.zeros((1, 1), jnp.int32)
 
-    res = _chunked(
-        packed,
-        lambda a, t, m, lens: _regular_chunk(
-            a, t, m, tt, ft, uniq_cap, wide_k, k_covisit, with_ft, vote_cap
-        ),
-        store.n_sessions,
-        chunk_sessions,
-    )
-    cands = {k: v[0] for k, v in res.items()}
-    scores = {k: v[1] for k, v in res.items()}
+    # length-bucketed chunking: short sessions ship as [chunk, 32] slices
+    # (exact under the left-aligned keep='last' layout), cutting tunnel bytes
+    # ~8x for the common case; the output layout is width-independent.
+    S = store.n_sessions
+    C = uniq_cap + k_covisit
+    cands = {t: np.full((S, C), -1, np.int32) for t in EVENT_TYPES}
+    scores = {t: np.zeros((S, C), np.float32) for t in EVENT_TYPES}
+    clens = np.minimum(store.lengths, packed.max_len)
+    lo = 0
+    for width in (w for w in (32, packed.max_len) if w <= packed.max_len):
+        idx = np.flatnonzero((clens > lo) & (clens <= width))
+        lo = width
+        for start in range(0, len(idx), chunk_sessions):
+            sel = idx[start : start + chunk_sessions]
+            pad = chunk_sessions - len(sel)
+            sel_p = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
+            res = _regular_chunk(
+                jnp.asarray(packed.aids[sel_p, :width]),
+                jnp.asarray(packed.types[sel_p, :width]),
+                jnp.asarray(np.minimum(packed.lengths[sel_p], width)),
+                tt, ft, uniq_cap, wide_k, k_covisit, with_ft, vote_cap,
+            )
+            for t in EVENT_TYPES:
+                c, s = res[t]
+                cands[t][sel] = np.asarray(c)[: len(sel)]
+                scores[t][sel] = np.asarray(s)[: len(sel)]
     lab = _label_dict(cands, labels) if labels is not None else None
     cs = CandidateSet(store.session_ids.copy(), cands, scores, lab)
     if labels is not None:
@@ -306,7 +339,7 @@ def covisit_candidates(
 
     def fn(a, t, m, lens):
         res = _regular_chunk(
-            a, t, m, tt, jnp.zeros((1, 1), jnp.int32), uniq_cap, wide_k, k_covisit, False
+            a, t, lens, tt, jnp.zeros((1, 1), jnp.int32), uniq_cap, wide_k, k_covisit, False
         )
         # drop the history prefix: keep only the covisitation block
         return {k: (c[:, uniq_cap:], s[:, uniq_cap:]) for k, (c, s) in res.items()}
