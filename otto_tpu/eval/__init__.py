@@ -2,6 +2,7 @@ from otto_tpu.eval.metrics import (
     click_recall_at_k,
     cart_order_recall_at_k,
     corpus_recall_at_k,
+    map_at_k,
     hits_at_k,
     weighted_recall,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "click_recall_at_k",
     "cart_order_recall_at_k",
     "corpus_recall_at_k",
+    "map_at_k",
     "hits_at_k",
     "weighted_recall",
     "RecallReport",

@@ -81,3 +81,28 @@ def corpus_recall_at_k(predictions: jax.Array, labels: jax.Array, k: int = 20) -
 def weighted_recall(click: float, cart: float, order: float) -> float:
     w_click, w_cart, w_order = TYPE_WEIGHTS
     return w_click * click + w_cart * cart + w_order * order
+
+
+@partial(jax.jit, static_argnames=("k",))
+def map_at_k(scores: jax.Array, labels: jax.Array, mask: jax.Array, k: int = 20) -> jax.Array:
+    """Mean average precision @ k over per-session candidate lists — the
+    reference GBDTs' training eval metric (models/lightgbm/config.yaml:94-96,
+    ``map`` with ``eval_at: 20/50``).
+
+    scores: float [S, C] (higher = ranked earlier; -inf for invalid),
+    labels: {0,1} int [S, C], mask: bool [S, C].  Sessions with no positive
+    candidates are excluded from the mean (LightGBM semantics).  Returns a
+    scalar.
+    """
+    S, C = scores.shape
+    kk = min(k, C)
+    s = jnp.where(mask, scores, -jnp.inf)
+    _, order = jax.lax.top_k(s, kk)  # [S, kk] candidate indices by rank
+    rel = jnp.take_along_axis(jnp.where(mask, labels, 0).astype(jnp.float32), order, axis=1)
+    ranks = jnp.arange(1, kk + 1, dtype=jnp.float32)[None, :]
+    cum_rel = jnp.cumsum(rel, axis=1)
+    precision_at_hit = (cum_rel / ranks) * rel
+    n_pos = jnp.sum(jnp.where(mask, labels, 0), axis=1).astype(jnp.float32)
+    denom = jnp.minimum(n_pos, float(kk))
+    ap = jnp.where(denom > 0, jnp.sum(precision_at_hit, axis=1) / jnp.maximum(denom, 1.0), jnp.nan)
+    return jnp.nanmean(ap)

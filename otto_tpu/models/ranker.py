@@ -337,12 +337,23 @@ def train_ranker(
             sl = val_sessions[start : start + 4096]
             oof[sl] = np.asarray(_predict_jit(params, jnp.asarray(x_all[sl])))
         params_per_fold.append(params)
+        # MAP@20 on the held-out fold — the reference GBDTs' eval metric
+        # (models/lightgbm/config.yaml:94-96)
+        from otto_tpu.eval.metrics import map_at_k
+
+        fold_map = float(map_at_k(
+            jnp.asarray(oof[val_sessions]),
+            jnp.asarray(data.labels[val_sessions].astype(np.int32)),
+            jnp.asarray(data.mask[val_sessions]),
+            k=20,
+        ))
         if eval_recall is not None:
             r = eval_recall(val_sessions, np.where(data.mask[val_sessions], oof[val_sessions], -np.inf))
             fold_recalls.append(float(r))
-            log.info("fold %d: loss %.4f recall@20 %.6f", fold, np.mean(losses[-50:]), r)
+            log.info("fold %d: loss %.4f recall@20 %.6f map@20 %.6f",
+                     fold, np.mean(losses[-50:]), r, fold_map)
         else:
-            log.info("fold %d: loss %.4f", fold, np.mean(losses[-50:]))
+            log.info("fold %d: loss %.4f map@20 %.6f", fold, np.mean(losses[-50:]), fold_map)
 
     oof = np.where(data.mask, oof, -np.inf)
     model = RankerModel(params_per_fold, normalizer, config, data.feature_names, fold_recalls)

@@ -105,3 +105,45 @@ def test_harness_end_to_end():
     assert report.weighted == pytest.approx(
         weighted_recall(2 / 3, 0.25, 1.0)
     )
+
+
+def test_map_at_k_hand_example():
+    import jax.numpy as jnp
+
+    from otto_tpu.eval.metrics import map_at_k
+
+    # session 0: ranked rel = [1, 0, 1, 0] -> AP = (1/1 + 2/3) / 2 = 0.8333
+    # session 1: ranked rel = [0, 1] (2 candidates) -> AP = (1/2) / 1 = 0.5
+    # session 2: no positives -> excluded
+    scores = jnp.asarray([
+        [4.0, 3.0, 2.0, 1.0],
+        [4.0, 3.0, -jnp.inf, -jnp.inf],
+        [4.0, 3.0, 2.0, 1.0],
+    ])
+    labels = jnp.asarray([
+        [1, 0, 1, 0],
+        [0, 1, 0, 0],
+        [0, 0, 0, 0],
+    ])
+    mask = jnp.asarray([
+        [True, True, True, True],
+        [True, True, False, False],
+        [True, True, True, True],
+    ])
+    m = float(map_at_k(scores, labels, mask, k=20))
+    expected = ((1.0 + 2.0 / 3.0) / 2.0 + 0.5) / 2.0
+    assert abs(m - expected) < 1e-6, (m, expected)
+
+
+def test_map_at_k_truncation():
+    import jax.numpy as jnp
+
+    from otto_tpu.eval.metrics import map_at_k
+
+    # k=1: only the top-ranked candidate counts; denom = min(n_pos, k) = 1
+    scores = jnp.asarray([[3.0, 2.0, 1.0]])
+    labels = jnp.asarray([[0, 1, 1]])
+    mask = jnp.ones((1, 3), bool)
+    assert float(map_at_k(scores, labels, mask, k=1)) == 0.0
+    # k=2: rel at rank 2 -> AP = (1/2)/min(2,2)... n_pos=2, denom=2 -> 0.25
+    assert abs(float(map_at_k(scores, labels, mask, k=2)) - 0.25) < 1e-6
