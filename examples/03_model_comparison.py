@@ -9,7 +9,15 @@ from otto_tpu.config import CovisitConfig, RankerConfig, SGNSConfig
 from otto_tpu.data import splits, synthetic_events
 from otto_tpu.eval import evaluate_predictions
 from otto_tpu.logging_utils import configure_logging
-from otto_tpu.pipelines import run_aid_frequency, run_aid_weight, run_covisit_heuristic
+from otto_tpu.pipelines import (
+    run_aid_frequency,
+    run_aid_weight,
+    run_covisit_heuristic,
+    run_doc2vec,
+    run_embedding_knn,
+    run_sequence,
+    run_tfidf,
+)
 from otto_tpu.twostage import run_two_stage
 
 configure_logging()
@@ -25,6 +33,14 @@ rows = []
 rows.append(("aid_frequency", run_aid_frequency(sp.train, sp.val_input, N, sp.val_labels).report))
 rows.append(("aid_weight", run_aid_weight(sp.val_input, sp.val_labels).report))
 rows.append(("covisitation", run_covisit_heuristic(sp.train, sp.val_input, N, sp.val_labels).report))
+rows.append(("tfidf", run_tfidf(sp.train, sp.val_input, N, sp.val_labels).report))
+rows.append(("doc2vec", run_doc2vec(sp.train, sp.val_input, N, sp.val_labels).report))
+rows.append(("embedding_knn", run_embedding_knn(sp.train, sp.val_input, N, sp.val_labels).report))
+rows.append(("sequence (gru)", run_sequence(sp.train, sp.val_input, N, sp.val_labels).report))
+rows.append(("sequence (transformer)", run_sequence(
+    sp.train, sp.val_input, N, sp.val_labels,
+    config_path=str(_pathlib.Path(__file__).resolve().parent.parent
+                    / "configs" / "sequence_transformer.yaml")).report))
 art = run_two_stage(
     sp.train, sp.val_input, N, labels=sp.val_labels,
     covisit_config=CovisitConfig(top_k_wide=20, session_tail=30),
