@@ -3,16 +3,79 @@
 Format (reference: src/baseline/aid_frequency.py:108-115): rows
 ``"{session}_{clicks|carts|orders}", "aid1 aid2 ... aid20"`` in a gzip CSV
 with header ``session_type,labels``.
+
+The hot path is a native C++ formatter + zlib stream
+(otto_tpu/native/submission_writer.cc) — the pure-Python loop formats ~44M
+rows at full OTTO scale; the native writer is ~2 orders of magnitude faster.
+A Python fallback covers compiler-less environments.
 """
 
 from __future__ import annotations
 
+import ctypes
 import gzip
+import subprocess
 from pathlib import Path
 
 import numpy as np
 
 from otto_tpu import EVENT_TYPES
+from otto_tpu.logging_utils import get_logger
+
+log = get_logger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libotto_submission.so"
+_lib = None
+
+
+def _load_native():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = _NATIVE_DIR / "submission_writer.cc"
+    try:
+        if not (_SO_PATH.exists() and _SO_PATH.stat().st_mtime >= src.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", str(_SO_PATH), str(src), "-lz"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.otto_write_submission.restype = ctypes.c_int64
+        lib.otto_write_submission.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        _lib = lib
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+        log.warning("native submission writer unavailable (%s); python fallback", e)
+        _lib = False
+    return _lib
+
+
+def _write_native(path: Path, session_ids: np.ndarray,
+                  predictions: dict[str, np.ndarray]) -> bool:
+    lib = _load_native()
+    if lib is False:
+        return False
+    S = len(session_ids)
+    K = max(predictions[t].shape[1] for t in EVENT_TYPES)
+    stacked = np.full((3, S, K), -1, np.int32)
+    for i, etype in enumerate(EVENT_TYPES):
+        p = predictions[etype]
+        stacked[i, :, : p.shape[1]] = p
+    sids = np.ascontiguousarray(session_ids, dtype=np.int64)
+    stacked = np.ascontiguousarray(stacked)
+    rows = lib.otto_write_submission(
+        str(path).encode(),
+        sids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S,
+        stacked.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), K,
+        6,
+    )
+    return rows == S * 3
 
 
 def write_submission(
@@ -24,6 +87,8 @@ def write_submission(
     ``[S, <=20]`` int array padded with -1."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if _write_native(path, np.asarray(session_ids), predictions):
+        return
     with gzip.open(path, "wt", newline="") as f:
         f.write("session_type,labels\n")
         per_type_rows = {}

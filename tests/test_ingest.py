@@ -82,3 +82,31 @@ def test_native_parser_scales(tmp_path):
     assert len(native[0]) == expected_events
     for a, b in zip(native, py):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_submission_writer_matches_python(tmp_path):
+    """The C++ gzip writer's output parses identically to the Python
+    fallback's (concatenated gzip members are a valid gzip stream)."""
+    import numpy as np
+
+    import otto_tpu.data.submission as sub
+
+    rng = np.random.default_rng(0)
+    S = 500
+    sids = np.arange(12899779, 12899779 + S, dtype=np.int64)
+    preds = {
+        t: np.where(rng.random((S, 20)) < 0.15, -1,
+                    rng.integers(0, 1_855_604, (S, 20))).astype(np.int32)
+        for t in ("clicks", "carts", "orders")
+    }
+    sub.write_submission(tmp_path / "n.csv.gz", sids, preds)
+    native_available = sub._lib is not False
+    sub._lib = False
+    try:
+        sub.write_submission(tmp_path / "p.csv.gz", sids, preds)
+    finally:
+        sub._lib = None
+    a = sub.read_submission(tmp_path / "n.csv.gz")
+    b = sub.read_submission(tmp_path / "p.csv.gz")
+    assert a == b
+    assert native_available, "native writer failed to build in this environment"
