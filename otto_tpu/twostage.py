@@ -174,20 +174,44 @@ def run_two_stage(
     k_covisit: int = 100,
     matrices: CovisitationMatrices | None = None,
     sgns: SGNSModel | None = None,
+    artifact_dir=None,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
     ``train`` supplies statistics (covisitation, embeddings, aid features);
     ``target`` sessions receive candidates and predictions.
+
+    ``artifact_dir`` enables per-stage persistence and crash resume (the
+    reference's pattern of every stage persisting so reruns restart from the
+    last file, SURVEY §5.3: ``load_dataset: True`` short-circuits, chunked
+    writes): representation models found under the directory are loaded
+    instead of rebuilt, and are saved there as they complete.
     """
+    from pathlib import Path
+
+    adir = Path(artifact_dir) if artifact_dir is not None else None
+
     # ---- stage 0: representation models ----------------------------------
+    if matrices is None and adir is not None and (adir / "covisitation").is_dir():
+        log.info("resuming covisitation matrices from %s", adir)
+        matrices = CovisitationMatrices.load(adir / "covisitation")
     if matrices is None:
         log.info("building covisitation matrices over %d events", train.n_events)
         matrices = build_covisitation(train, n_aids, covisit_config)
+        if adir is not None:
+            (adir / "covisitation").mkdir(parents=True, exist_ok=True)
+            matrices.save(adir / "covisitation")
     ft_neighbors = None
+    if (sgns_config is not None and sgns is None and adir is not None
+            and (adir / "sgns.npz").exists()):
+        log.info("resuming SGNS embeddings from %s", adir)
+        sgns = SGNSModel.load(adir / "sgns.npz", sgns_config)
     if sgns_config is not None and sgns is None:
         log.info("training SGNS embeddings")
         sgns = train_sgns(train, n_aids, sgns_config)
+        if adir is not None:
+            adir.mkdir(parents=True, exist_ok=True)
+            sgns.save(adir / "sgns.npz")
     if sgns is not None:
         ft_neighbors = sgns.neighbor_table(k=ft_k)
 
@@ -250,6 +274,10 @@ def run_two_stage(
                 rankers[etype].prior_alpha = alpha
                 log.info("%s: prior-blend alpha %.2f", etype, alpha)
             predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
+            if adir is not None:
+                rankers[etype].save(adir / f"ranker_{etype}.npz")
+                if f"{etype}_b" in rankers:
+                    rankers[f"{etype}_b"].save(adir / f"ranker_{etype}_b.npz")
         else:
             raise ValueError(
                 "prediction-only mode requires pre-trained rankers; use predict_two_stage"
@@ -262,7 +290,7 @@ def run_two_stage(
         )
         log.info("two-stage validation scores\n%s", report)
 
-    return TwoStageArtifacts(
+    artifacts = TwoStageArtifacts(
         matrices=matrices,
         sgns=sgns,
         candidates=cands,
@@ -271,6 +299,9 @@ def run_two_stage(
         report=report,
         max_recall=max_recall,
     )
+    if adir is not None:
+        artifacts.save(adir)
+    return artifacts
 
 
 def predict_two_stage(

@@ -113,3 +113,38 @@ def test_artifacts_save_load_roundtrip(artifacts, tmp_path):
     p2 = predict_two_stage(loaded, sp.train, unseen, n_aids=500, uniq_cap=32, k_covisit=50)
     for t in p1:
         np.testing.assert_array_equal(p1[t], p2[t])
+
+
+def test_run_two_stage_stage_resume(tmp_path):
+    """artifact_dir persists each stage as it completes; a rerun loads the
+    covisitation matrices and SGNS table instead of rebuilding them (the
+    reference's load_dataset short-circuit, SURVEY §5.3)."""
+    from otto_tpu.config import SGNSConfig
+    from otto_tpu.data import splits, synthetic_events
+    from otto_tpu.models.covisitation import build_covisitation  # noqa: F401
+
+    es = synthetic_events(n_sessions=600, n_aids=250, mean_length=10, seed=77)
+    sp = splits.split_by_fraction(es, val_fraction=0.3)
+    cfg_cov = CovisitConfig(top_k_wide=10, session_tail=20)
+    cfg_rank = RankerConfig(hidden_dims=(32, 16), n_folds=2, epochs=3,
+                            batch_sessions=64, learning_rate=3e-3, dropout=0.0)
+    d = tmp_path / "stages"
+    art1 = run_two_stage(sp.train, sp.val_input, n_aids=250, labels=sp.val_labels,
+                         covisit_config=cfg_cov, ranker_config=cfg_rank,
+                         sgns_config=SGNSConfig(dim=8, window=4, negatives=6, epochs=1),
+                         uniq_cap=16, k_covisit=20, artifact_dir=d)
+    assert (d / "covisitation").is_dir()
+    assert (d / "sgns.npz").exists()
+    assert (d / "ranker_clicks.npz").exists()
+    assert (d / "meta.json").exists()
+
+    # second run resumes stage-0 artifacts: covisitation tables must be
+    # bit-identical (loaded, not rebuilt with a different rng path)
+    art2 = run_two_stage(sp.train, sp.val_input, n_aids=250, labels=sp.val_labels,
+                         covisit_config=cfg_cov, ranker_config=cfg_rank,
+                         sgns_config=SGNSConfig(dim=8, window=4, negatives=6, epochs=1),
+                         uniq_cap=16, k_covisit=20, artifact_dir=d)
+    for kind in art1.matrices.tables:
+        np.testing.assert_array_equal(art1.matrices.tables[kind][0],
+                                      art2.matrices.tables[kind][0])
+    np.testing.assert_array_equal(art1.sgns.w_in, art2.sgns.w_in)
