@@ -160,3 +160,38 @@ def visualize_distributions(store, path: str | Path) -> Path:
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return Path(path)
+
+
+def visualize_feature_distribution(
+    train_values: np.ndarray,
+    test_values: np.ndarray,
+    name: str,
+    path: str | Path,
+    bins: int = 50,
+) -> Path:
+    """Train-vs-test overlay of one continuous feature with summary stats
+    (reference: src/visualization.py:53-95
+    visualize_continuous_feature_distribution)."""
+    plt = _plt()
+    tr = np.asarray(train_values, np.float64)
+    te = np.asarray(test_values, np.float64)
+    tr = tr[np.isfinite(tr)]
+    te = te[np.isfinite(te)]
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    lo = min(tr.min(initial=0.0), te.min(initial=0.0))
+    hi = max(tr.max(initial=1.0), te.max(initial=1.0))
+    edges = np.linspace(lo, hi, bins + 1)
+    ax.hist(tr, bins=edges, alpha=0.5, density=True, label=f"train (n={len(tr)})")
+    ax.hist(te, bins=edges, alpha=0.5, density=True, label=f"test (n={len(te)})")
+    ax.set_title(
+        f"{name}\n"
+        f"train mean {tr.mean():.4g} std {tr.std():.4g} | "
+        f"test mean {te.mean():.4g} std {te.std():.4g}"
+    )
+    ax.set_xlabel(name)
+    ax.set_ylabel("density")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return Path(path)

@@ -94,3 +94,16 @@ def test_visualize_distributions(tmp_path, small_events):
 
     p = viz.visualize_distributions(small_events, tmp_path / "dist.png")
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_visualize_feature_distribution(tmp_path):
+    import numpy as np
+
+    from otto_tpu import visualization as viz
+
+    rng = np.random.default_rng(0)
+    p = viz.visualize_feature_distribution(
+        rng.normal(size=500), rng.normal(0.5, 1.2, size=300), "session_count",
+        tmp_path / "feat.png",
+    )
+    assert p.exists() and p.stat().st_size > 0
