@@ -78,8 +78,9 @@ def _prior_blend(candidates: np.ndarray, tower_scores: np.ndarray, eval_fn):
     tower_n = _blend_scores(candidates, [tower_scores], [1.0])
     best_alpha, best_r, best_scores = 0.0, -1.0, prior_n
     idx = np.arange(S)
+    tower_z = np.where(valid, tower_n, 0.0)  # avoid 0 * -inf = nan at alpha 0
     for alpha in PRIOR_ALPHAS:
-        blended = np.where(valid, prior_n + alpha * tower_n, -np.inf)
+        blended = np.where(valid, prior_n + alpha * tower_z, -np.inf)
         r = eval_fn(idx, blended)
         if r > best_r:
             best_alpha, best_r, best_scores = alpha, r, blended
@@ -344,9 +345,9 @@ def predict_two_stage(
         if np.isfinite(alpha):
             C = cands.candidates[etype].shape[1]
             prior = np.where(mask, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
-            scores = _blend_scores(cands.candidates[etype], [prior], [1.0]) + alpha * _blend_scores(
-                cands.candidates[etype], [scores], [1.0]
-            )
-            scores = np.where(mask, scores, -np.inf)
+            prior_n = _blend_scores(cands.candidates[etype], [prior], [1.0])
+            tower_n = _blend_scores(cands.candidates[etype], [scores], [1.0])
+            tower_z = np.where(mask, tower_n, 0.0)  # avoid 0 * -inf = nan
+            scores = np.where(mask, prior_n + alpha * tower_z, -np.inf)
         out[etype] = top_k_predictions(cands.candidates[etype], scores, k=TOP_K)
     return out
