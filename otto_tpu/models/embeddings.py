@@ -86,34 +86,48 @@ def skipgram_pairs(
 @partial(jax.jit, static_argnames=("n_negatives",), donate_argnums=(0, 1, 2, 3))
 def _sgns_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf, lr, key,
                n_negatives: int):
-    """One SGNS step with per-coordinate adagrad.
+    """One SGNS step with sparse per-coordinate adagrad.
 
-    Gradients w.r.t. the full tables are scatter-adds XLA emits from the
-    gather's transpose — duplicate rows within a batch accumulate linearly
-    (correct), unlike naive simultaneous SGD writes.  Adagrad keeps the update
-    scale stable across wildly different aid frequencies (the same reason the
+    Gradients are closed-form over the gathered rows and applied with
+    scatter-adds touching only the batch's rows.  Autodiff would emit the
+    same scatter for the gradient but then run the adagrad update over the
+    FULL [N, D] tables — ~8 full-table HBM passes per step (at OTTO scale
+    1.9 GB per 8k-pair batch); the sparse form's traffic scales with the
+    batch instead (~20x less).  Duplicate rows in a batch accumulate into
+    ``acc`` first and every occurrence then scales by the batch-complete
+    accumulator — word2vec-style sparse adagrad (the same reason the
     reference's torch trainers use SparseAdam, torch_trainer.py:352).
     """
     B = centers.shape[0]
     u = jax.random.uniform(key, (B, n_negatives))
     negatives = jnp.searchsorted(neg_cdf, u).astype(jnp.int32)
 
-    def loss_fn(w_in, w_out):
-        c_rows = w_in[centers]  # [B, D]
-        pos_rows = w_out[contexts]  # [B, D]
-        neg_rows = w_out[negatives]  # [B, Neg, D]
-        pos_logit = jnp.sum(c_rows * pos_rows, axis=1)
-        neg_logit = jnp.einsum("bd,bnd->bn", c_rows, neg_rows)
-        per_pair = -jax.nn.log_sigmoid(pos_logit) - jnp.sum(
-            jax.nn.log_sigmoid(-neg_logit), axis=1
-        )
-        return jnp.sum(per_pair)
+    c_rows = w_in[centers]  # [B, D]
+    pos_rows = w_out[contexts]  # [B, D]
+    neg_rows = w_out[negatives]  # [B, Neg, D]
+    pos_logit = jnp.sum(c_rows * pos_rows, axis=1)  # [B]
+    neg_logit = jnp.einsum("bd,bnd->bn", c_rows, neg_rows)  # [B, Neg]
+    loss = jnp.sum(-jax.nn.log_sigmoid(pos_logit)) + jnp.sum(
+        -jax.nn.log_sigmoid(-neg_logit)
+    )
 
-    loss, (g_in, g_out) = jax.value_and_grad(loss_fn, argnums=(0, 1))(w_in, w_out)
-    acc_in = acc_in + g_in * g_in
-    acc_out = acc_out + g_out * g_out
-    w_in = w_in - lr * g_in * jax.lax.rsqrt(acc_in + 1e-10)
-    w_out = w_out - lr * g_out * jax.lax.rsqrt(acc_out + 1e-10)
+    # d loss / d logit
+    g_pos = jax.nn.sigmoid(pos_logit) - 1.0  # [B]
+    g_neg = jax.nn.sigmoid(neg_logit)  # [B, Neg]
+    # row gradients
+    g_c = g_pos[:, None] * pos_rows + jnp.einsum("bn,bnd->bd", g_neg, neg_rows)
+    g_ctx = g_pos[:, None] * c_rows  # [B, D]
+    g_negrows = g_neg[:, :, None] * c_rows[:, None, :]  # [B, Neg, D]
+
+    out_idx = jnp.concatenate([contexts, negatives.reshape(-1)])  # [B + B*Neg]
+    g_out_rows = jnp.concatenate([g_ctx, g_negrows.reshape(-1, g_ctx.shape[1])])
+
+    acc_in = acc_in.at[centers].add(g_c * g_c)
+    acc_out = acc_out.at[out_idx].add(g_out_rows * g_out_rows)
+    w_in = w_in.at[centers].add(-lr * g_c * jax.lax.rsqrt(acc_in[centers] + 1e-10))
+    w_out = w_out.at[out_idx].add(
+        -lr * g_out_rows * jax.lax.rsqrt(acc_out[out_idx] + 1e-10)
+    )
     return w_in, w_out, acc_in, acc_out, loss / B
 
 
