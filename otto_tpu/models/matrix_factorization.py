@@ -179,7 +179,14 @@ def _train_epochs(
     rng: np.random.Generator,
     val_fraction: float = 0.05,
     log_prefix: str = "model",
+    sparse_lookups: list[tuple[str, int]] | None = None,
+    lr_schedule=None,
 ):
+    """``sparse_lookups`` switches the step to sparse per-coordinate adagrad
+    over the looked-up rows only (the reference trains these tables with
+    SparseAdam for the same reason, torch_trainer.py:352): a dense optax
+    optimizer reads/writes the full [N, D] tables and moments every batch —
+    at OTTO scale (14.6M-session table) ~11 GB of HBM traffic per step."""
     loss_fn = _make_loss(loss_name)
     n = len(data[0])
     perm = rng.permutation(n)
@@ -188,7 +195,11 @@ def _train_epochs(
     train = tuple(d[train_idx] for d in data)
     val = tuple(jnp.asarray(d[val_idx]) for d in data)
 
-    opt_state = optimizer.init(params)
+    if sparse_lookups is None:
+        opt_state = optimizer.init(params)
+    else:
+        (key1, _), (key2, _) = sparse_lookups
+        opt_state = {k: jnp.zeros_like(params[k]) for k in {key1, key2}}  # adagrad accs
 
     @jax.jit
     def step(params, opt_state, *batch):
@@ -197,8 +208,33 @@ def _train_epochs(
             return loss_fn(logits, batch[-1])
 
         loss, grads = jax.value_and_grad(f)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def sparse_step(params, accs, lr, *batch):
+        (k1, p1), (k2, p2) = sparse_lookups
+        i1, i2, y = batch[p1], batch[p2], batch[-1]
+        e1 = params[k1][i1]
+        e2 = params[k2][i2]
+        logits = jnp.sum(e1 * e2, axis=-1)
+        loss = loss_fn(logits, y)
+        B = y.shape[0]
+        if loss_name == "bce":
+            dl = (jax.nn.sigmoid(logits) - y) / B
+        else:  # mse: d mean((l-y)^2) / dl
+            dl = 2.0 * (logits - y) / B
+        g1 = dl[:, None] * e2
+        g2 = dl[:, None] * e1
+        accs = dict(accs)
+        params = dict(params)
+        # accumulate squared grads for BOTH lookups first (k1 may equal k2 —
+        # the chained .at composes), then apply with the batch-complete acc
+        accs[k1] = accs[k1].at[i1].add(g1 * g1)
+        accs[k2] = accs[k2].at[i2].add(g2 * g2)
+        params[k1] = params[k1].at[i1].add(-lr * g1 * jax.lax.rsqrt(accs[k1][i1] + 1e-10))
+        params[k2] = params[k2].at[i2].add(-lr * g2 * jax.lax.rsqrt(accs[k2][i2] + 1e-10))
+        return params, accs, loss
 
     @jax.jit
     def val_loss_fn(params):
@@ -210,6 +246,7 @@ def _train_epochs(
     bad_epochs = 0
     history = []
     B = batch_size
+    global_step = 0
     for epoch in range(epochs):
         order = rng.permutation(len(train[0]))
         tl = []
@@ -217,7 +254,12 @@ def _train_epochs(
         for i in range(n_batches):
             sel = order[i * B : (i + 1) * B]
             batch = tuple(jnp.asarray(d[sel]) for d in train)
-            params, opt_state, l = step(params, opt_state, *batch)
+            if sparse_lookups is None:
+                params, opt_state, l = step(params, opt_state, *batch)
+            else:
+                lr = jnp.float32(lr_schedule(global_step)) if lr_schedule else jnp.float32(0.05)
+                params, opt_state, l = sparse_step(params, opt_state, lr, *batch)
+            global_step += 1
             tl.append(float(l))
         vl, _ = val_loss_fn(params)
         vl = float(vl)
@@ -286,7 +328,6 @@ def train_cf(store: EventStore, n_aids: int, config: CFConfig = CFConfig()) -> C
     schedule = optax.exponential_decay(
         config.learning_rate, config.lr_decay_steps, config.lr_decay_rate, staircase=True
     )
-    optimizer = optax.adam(schedule)
     best, history, _ = _train_epochs(
         params,
         partial(_pair_forward, loss=config.loss),
@@ -295,9 +336,11 @@ def train_cf(store: EventStore, n_aids: int, config: CFConfig = CFConfig()) -> C
         config.batch_size,
         config.epochs,
         config.early_stopping_patience,
-        optimizer,
+        None,
         rng,
         log_prefix="cf",
+        sparse_lookups=[("embeddings", 0), ("embeddings", 1)],
+        lr_schedule=schedule,
     )
     return CFModel(np.asarray(best["embeddings"]), config, history)
 
@@ -316,7 +359,6 @@ def train_mf(store: EventStore, n_aids: int, config: MFConfig = MFConfig()) -> M
     schedule = optax.exponential_decay(
         config.learning_rate, config.lr_decay_steps, config.lr_decay_rate, staircase=True
     )
-    optimizer = optax.adam(schedule)
     best, history, _ = _train_epochs(
         params,
         partial(_mf_forward, loss=config.loss),
@@ -325,9 +367,11 @@ def train_mf(store: EventStore, n_aids: int, config: MFConfig = MFConfig()) -> M
         config.batch_size,
         config.epochs,
         config.early_stopping_patience,
-        optimizer,
+        None,
         rng,
         log_prefix="mf",
+        sparse_lookups=[("session_embeddings", 0), ("aid_embeddings", 1)],
+        lr_schedule=schedule,
     )
     return MFModel(
         np.asarray(best["session_embeddings"]), np.asarray(best["aid_embeddings"]), config, history
