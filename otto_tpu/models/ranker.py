@@ -191,11 +191,33 @@ class RankerModel:
     # (score = scaled_prior + prior_alpha * scaled_tower; nan = unused)
     prior_alpha: float = float("nan")
 
-    def predict(self, features: np.ndarray, mask: np.ndarray, batch: int = 4096) -> np.ndarray:
-        """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics)."""
+    def predict(self, features: np.ndarray, mask: np.ndarray, batch: int = 4096,
+                mesh=None) -> np.ndarray:
+        """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics).
+
+        With ``mesh``, each batch is sharded over the mesh's ``data`` axis and
+        all folds score in one program per batch (data-parallel serving; the
+        reference predicts fold-by-fold over 20 file chunks on one device)."""
         x = self.normalizer(features)
         S = x.shape[0]
         out = np.zeros(x.shape[:2], np.float32)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            n_dev = mesh.devices.size
+            batch = max(batch // n_dev, 1) * n_dev  # divisible batches
+            for start in range(0, S, batch):
+                end = min(start + batch, S)
+                xb = x[start:end]
+                pad = batch - (end - start)
+                if pad:
+                    xb = np.concatenate([xb, np.zeros((pad, *x.shape[1:]), x.dtype)])
+                xb = jax.device_put(jnp.asarray(xb), sharding)
+                s = np.asarray(_predict_folds_jit(tuple(self.params_per_fold), xb))
+                out[start:end] = s[: end - start]
+            return np.where(mask, out, -np.inf)
         for start in range(0, S, batch):
             xb = jnp.asarray(x[start : start + batch])
             acc = None
@@ -245,6 +267,17 @@ class RankerModel:
 @jax.jit
 def _predict_jit(params, x):
     return tower_forward(params, x, dropout_rate=0.0)
+
+
+@jax.jit
+def _predict_folds_jit(params_tuple, x):
+    """All folds averaged in one program; with a data-sharded ``x`` XLA runs
+    it data-parallel across the mesh (params replicate)."""
+    acc = None
+    for params in params_tuple:
+        s = tower_forward(params, x, dropout_rate=0.0)
+        acc = s if acc is None else acc + s
+    return acc / len(params_tuple)
 
 
 def negative_sample_mask(

@@ -165,3 +165,27 @@ def test_dp_sequence_step_matches_single_device():
         assert abs(float(loss) - float(ref_loss)) < 1e-4, arch
         for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(ref_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_ranker_mesh_predict_matches_single_device():
+    """mesh= predict shards batches over the data axis and matches the
+    single-device fold-averaged scores."""
+    import jax
+    import numpy as np
+
+    from otto_tpu.config import MeshConfig, RankerConfig
+    from otto_tpu.models.ranker import FeatureNormalizer, RankerModel, init_tower
+    from otto_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    S, C, F = 37, 16, 12  # deliberately not divisible by 8
+    feats = rng.normal(size=(S, C, F)).astype(np.float32)
+    mask = rng.random((S, C)) < 0.9
+    norm = FeatureNormalizer.fit(feats, mask)
+    params = [init_tower(jax.random.PRNGKey(i), F, (32, 16)) for i in range(3)]
+    model = RankerModel(params, norm, RankerConfig())
+
+    single = model.predict(feats, mask, batch=16)
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    parallel = model.predict(feats, mask, batch=16, mesh=mesh)
+    np.testing.assert_allclose(single, parallel, rtol=2e-4, atol=2e-4)
