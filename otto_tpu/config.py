@@ -210,6 +210,40 @@ class RankerConfig(ConfigBase):
 
 
 @dataclass(frozen=True)
+class GBDTConfig(ConfigBase):
+    """Histogram gradient-boosted trees — the TPU-native re-implementation of
+    the LightGBM/XGBoost lambdarank engines themselves
+    (reference: src/ranker/lgb_trainer.py + models/lightgbm/config.yaml).
+
+    Defaults mirror the reference's shipped LightGBM parameters:
+    num_leaves 128 (= level-wise ``max_depth`` 7), learning_rate 0.05,
+    bagging_fraction/feature_fraction 0.9, min_data_in_leaf 2000,
+    min_gain_to_split 1e-5, lambda_l2 0.01, max_bin 255 (+ a reserved missing
+    bin), 1000 boosting rounds with MAP@20 early stopping at patience 200
+    (models/lightgbm/config.yaml:85-165)."""
+
+    n_trees: int = 1000
+    early_stopping_rounds: int = 200
+    eval_every: int = 10  # ES metric cadence in trees
+    learning_rate: float = 0.05
+    max_depth: int = 7  # 2^7 = 128 leaves = the reference's num_leaves
+    n_bins: int = 256  # 255 value bins + bin 0 reserved for missing
+    reg_lambda: float = 0.01  # lambda_l2
+    min_split_gain: float = 1e-5  # min_gain_to_split
+    min_data_in_leaf: int = 2000
+    min_child_weight: float = 1e-3
+    subsample: float = 0.9  # bagging_fraction (per tree)
+    colsample: float = 0.9  # feature_fraction (per tree, via gain masking)
+    loss: str = "lambdarank"  # or 'bce'
+    lambdarank_k: int = 20
+    n_folds: int = 5
+    negative_sampling_ratio: float = 0.30
+    seed: int = 42
+    chunk_sessions: int = 1024  # lambdarank gradient lax.map chunk
+    hist_rows_per_chunk: int = 1 << 18  # histogram scatter streaming chunk
+
+
+@dataclass(frozen=True)
 class SequenceModelConfig(ConfigBase):
     """Sequential session encoder replacing the RecBole stack
     (reference: src/recbole/{dataset,trainer,inference}.py).  The reference

@@ -23,6 +23,12 @@ from otto_tpu.models.matrix_factorization import CFModel, MFModel, train_cf, tra
 from otto_tpu.models.sequence import SequenceModel, sequence_serving_predictions, train_sequence_model
 from otto_tpu.models.tfidf import TfIdfModel
 from otto_tpu.models.ranker import RankerData, RankerModel, train_ranker
+from otto_tpu.models.gbdt import (
+    GBDTForest,
+    GBDTRankerModel,
+    load_ranker_model,
+    train_gbdt_ranker,
+)
 from otto_tpu.models.ensemble import ModelPredictions, blend
 
 __all__ = [
@@ -35,5 +41,6 @@ __all__ = [
     "CFModel", "MFModel", "train_cf", "train_mf",
     "SequenceModel", "sequence_serving_predictions", "train_sequence_model",
     "TfIdfModel", "RankerData", "RankerModel", "train_ranker",
+    "GBDTForest", "GBDTRankerModel", "load_ranker_model", "train_gbdt_ranker",
     "ModelPredictions", "blend",
 ]

@@ -38,7 +38,17 @@ from otto_tpu.logging_utils import get_logger
 from otto_tpu.models.candidates import CandidateSet, regular_candidates
 from otto_tpu.models.covisitation import CovisitationMatrices, build_covisitation
 from otto_tpu.models.embeddings import SGNSModel, train_sgns
+from otto_tpu.models.gbdt import GBDTConfig, load_ranker_model, train_gbdt_ranker
 from otto_tpu.models.ranker import RankerData, RankerModel, top_k_predictions, train_ranker
+
+
+def _train_engine(data: RankerData, cfg, eval_recall):
+    """Dispatch on config type: RankerConfig -> listwise tower,
+    GBDTConfig -> TPU-native histogram GBDT (the reference's LightGBM
+    engine re-implemented, models/gbdt.py)."""
+    if isinstance(cfg, GBDTConfig):
+        return train_gbdt_ranker(data, cfg, eval_recall=eval_recall)
+    return train_ranker(data, cfg, eval_recall=eval_recall)
 
 log = get_logger(__name__)
 
@@ -133,7 +143,7 @@ class TwoStageArtifacts:
         matrices = CovisitationMatrices.load(d / "covisitation")
         sgns = SGNSModel.load(d / "sgns.npz") if meta["has_sgns"] else None
         rankers = {
-            name: RankerModel.load(d / f"ranker_{name}.npz", ranker_config)
+            name: load_ranker_model(d / f"ranker_{name}.npz", ranker_config)
             for name in meta["ranker_names"]
         }
         z = np.load(d / "predictions.npz")
@@ -164,8 +174,8 @@ def run_two_stage(
     n_aids: int,
     labels: SessionLabels | None = None,
     covisit_config: CovisitConfig = CovisitConfig(),
-    ranker_config: RankerConfig = RankerConfig(),
-    second_ranker_config: RankerConfig | None = None,
+    ranker_config: RankerConfig | GBDTConfig = RankerConfig(),
+    second_ranker_config: RankerConfig | GBDTConfig | None = None,
     blend_weights: tuple[float, float] = (0.5, 0.5),
     prior_blend: bool = True,
     sgns_config: SGNSConfig | None = None,
@@ -259,13 +269,13 @@ def run_two_stage(
                 feature_names=list(feature_list),
             )
             eval_fn = _recall_eval_fn(labels, cands.candidates[etype], etype)
-            model, oof = train_ranker(data, ranker_config, eval_recall=eval_fn)
+            model, oof = _train_engine(data, ranker_config, eval_fn)
             rankers[etype] = model
             if second_ranker_config is not None:
                 # the reference blends a LightGBM and an XGBoost reranker
                 # (ranker/inference.py:64-85); here: a second tower with a
                 # different seed/architecture, robust-scaled weighted blend
-                model_b, oof_b = train_ranker(data, second_ranker_config, eval_recall=eval_fn)
+                model_b, oof_b = _train_engine(data, second_ranker_config, eval_fn)
                 rankers[f"{etype}_b"] = model_b
                 oof = _blend_scores(
                     cands.candidates[etype], [oof, oof_b], list(blend_weights)

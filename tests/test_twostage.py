@@ -148,3 +148,36 @@ def test_run_two_stage_stage_resume(tmp_path):
         np.testing.assert_array_equal(art1.matrices.tables[kind][0],
                                       art2.matrices.tables[kind][0])
     np.testing.assert_array_equal(art1.sgns.w_in, art2.sgns.w_in)
+
+
+def test_gbdt_engine_in_two_stage(tmp_path):
+    """The GBDT engine (the reference's actual LightGBM stage, re-implemented
+    on TPU) slots into the pipeline interchangeably with the tower, and its
+    artifacts round-trip through save/load + submission-mode prediction."""
+    from otto_tpu.config import GBDTConfig
+    from otto_tpu.models.gbdt import GBDTRankerModel
+    from otto_tpu.twostage import TwoStageArtifacts
+
+    es = synthetic_events(n_sessions=400, n_aids=300, mean_length=10, seed=404)
+    sp = splits.split_by_fraction(es, val_fraction=0.4)
+    cfg = GBDTConfig(n_trees=12, early_stopping_rounds=1000, learning_rate=0.3,
+                     max_depth=3, n_bins=32, min_data_in_leaf=1, min_split_gain=0.0,
+                     min_child_weight=1e-6, n_folds=2, chunk_sessions=128)
+    art = run_two_stage(
+        sp.train, sp.val_input, n_aids=300, labels=sp.val_labels,
+        covisit_config=CovisitConfig(top_k_wide=10, session_tail=20),
+        ranker_config=cfg, uniq_cap=16, k_covisit=30,
+    )
+    assert isinstance(art.rankers["clicks"], GBDTRankerModel)
+    assert art.report is not None and 0 <= art.report.weighted <= 1
+    assert art.report.corpus_weighted <= art.max_recall["weighted"] + 1e-9
+
+    d = tmp_path / "gbdt_art"
+    art.save(d)
+    loaded = TwoStageArtifacts.load(d)
+    assert isinstance(loaded.rankers["clicks"], GBDTRankerModel)
+    unseen = es.select_sessions(np.arange(es.n_sessions - 50, es.n_sessions))
+    p1 = predict_two_stage(art, sp.train, unseen, n_aids=300, uniq_cap=16, k_covisit=30)
+    p2 = predict_two_stage(loaded, sp.train, unseen, n_aids=300, uniq_cap=16, k_covisit=30)
+    for t in p1:
+        np.testing.assert_array_equal(p1[t], p2[t])
