@@ -92,8 +92,7 @@ def bin_features(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- grow
-@partial(jax.jit, static_argnames=("depth", "n_bins", "hist_chunk"))
-def _grow_tree(
+def _grow_tree_impl(
     binned,  # uint8 [N, F]
     grad,  # f32 [N]
     hess,  # f32 [N]
@@ -109,11 +108,19 @@ def _grow_tree(
     depth: int,
     n_bins: int,
     hist_chunk: int,
+    axis_name: str | None = None,
 ):
     """Grow one depth-``depth`` tree level-wise.  Returns level-order-
     concatenated split features/thresholds/gains (``2^depth - 1`` internal
     nodes: index of level-``l`` position ``p`` is ``2^l - 1 + p``), the
-    lr-scaled leaf values ``[2^depth]``, and each row's final leaf id."""
+    lr-scaled leaf values ``[2^depth]``, and each row's final leaf id.
+
+    With ``axis_name`` (under ``shard_map`` with rows sharded over that mesh
+    axis) this becomes the classic data-parallel GBDT: each device builds
+    local histograms, one ``psum`` per level merges them over ICI, split
+    search runs redundantly (identical on every device), and rows route
+    locally — the histogram is the only communication (bytes per level =
+    ``nodes * features * bins * 3 * 4``, independent of row count)."""
     N, F = binned.shape
     lam = reg_lambda + 1e-12
     g = grad * bag
@@ -156,6 +163,8 @@ def _grow_tree(
                 ),
             )
 
+        if axis_name is not None:
+            hist = lax.psum(hist, axis_name)
         hist = hist.reshape(n_nodes, F, n_bins, 3)
         cg = jnp.cumsum(hist[..., 0], axis=-1)
         ch = jnp.cumsum(hist[..., 1], axis=-1)
@@ -190,6 +199,9 @@ def _grow_tree(
     n_leaves = 1 << depth
     lg = jnp.zeros(n_leaves, jnp.float32).at[node].add(g)
     lh = jnp.zeros(n_leaves, jnp.float32).at[node].add(h)
+    if axis_name is not None:
+        lg = lax.psum(lg, axis_name)
+        lh = lax.psum(lh, axis_name)
     leaf = (-lg / (lh + lam)) * learning_rate
     return (
         jnp.concatenate(feats),
@@ -198,6 +210,11 @@ def _grow_tree(
         jnp.concatenate(gains),
         node,
     )
+
+
+_grow_tree = jax.jit(
+    _grow_tree_impl, static_argnames=("depth", "n_bins", "hist_chunk", "axis_name")
+)
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -323,20 +340,54 @@ def fit_gbdt(
     *,
     val: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     seed_offset: int = 0,
+    mesh=None,
+    data_axis: str = "data",
 ) -> GBDTForest:
     """Boost one forest over listwise candidate groups.
 
     ``val = (binned, labels, mask)`` enables MAP@20 early stopping with
     ``early_stopping_rounds`` patience (the reference's valid_sets +
-    eval_at=[20] contract, lgb_trainer.py:156-165)."""
+    eval_at=[20] contract, lgb_trainer.py:156-165).
+
+    With ``mesh`` the sessions shard over its ``data`` axis and every tree
+    grows data-parallel (per-level histogram ``psum`` — see
+    :func:`otto_tpu.parallel.data_parallel.make_dp_gbdt_grow`); the
+    lambdarank gradient pass is per-session and shards with them."""
     from otto_tpu.eval.metrics import map_at_k
 
     S, C, F = binned.shape
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from otto_tpu.parallel.data_parallel import make_dp_gbdt_grow
+
+        n_dp = mesh.shape[data_axis]
+        pad_s = (-S) % n_dp
+        if pad_s:
+            binned = np.concatenate([binned, np.zeros((pad_s, C, F), binned.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad_s, C), labels.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad_s, C), bool)])
+            train_weight = np.concatenate(
+                [train_weight, np.zeros((pad_s, C), train_weight.dtype)]
+            )
+            S += pad_s
+        row_sh = NamedSharding(mesh, P(data_axis))
+        put = lambda a: jax.device_put(jnp.asarray(a), row_sh)  # noqa: E731
+        grow = make_dp_gbdt_grow(
+            mesh, depth=config.max_depth, n_bins=config.n_bins,
+            hist_chunk=config.hist_rows_per_chunk, data_axis=data_axis,
+        )
+    else:
+        put = jnp.asarray
+        grow = partial(
+            _grow_tree, depth=config.max_depth, n_bins=config.n_bins,
+            hist_chunk=config.hist_rows_per_chunk,
+        )
     N = S * C
-    flat = jnp.asarray(binned.reshape(N, F))
-    lab_d = jnp.asarray(labels)
-    mask_d = jnp.asarray(mask)
-    w_d = jnp.asarray(train_weight)
+    flat = put(binned.reshape(N, F))
+    lab_d = put(labels)
+    mask_d = put(mask)
+    w_d = put(train_weight)
     w_flat = w_d.reshape(N)
     keep_mask = w_d > 0  # pairs/pointwise terms use only kept rows
 
@@ -388,12 +439,11 @@ def fit_gbdt(
         else:
             fm = np.ones(F, bool)
 
-        feat, thr, leaf, gains, leaf_idx = _grow_tree(
+        feat, thr, leaf, gains, leaf_idx = grow(
             flat, g, h, w_flat, bag, jnp.asarray(fm),
             jnp.float32(config.reg_lambda), jnp.float32(config.min_split_gain),
             jnp.float32(config.min_data_in_leaf), jnp.float32(config.min_child_weight),
             jnp.float32(config.learning_rate),
-            depth=depth, n_bins=n_bins, hist_chunk=config.hist_rows_per_chunk,
         )
         pred = pred + leaf[leaf_idx].reshape(S, C)
         feat_h, gains_h = np.asarray(feat), np.asarray(gains)
@@ -513,10 +563,12 @@ def train_gbdt_ranker(
     data: RankerData,
     config: GBDTConfig = GBDTConfig(),
     eval_recall=None,
+    mesh=None,
 ) -> tuple[GBDTRankerModel, np.ndarray]:
     """K-fold GBDT training with the reference's exact protocol; returns the
     model and OOF scores [S, C] (mirrors
-    :func:`otto_tpu.models.ranker.train_ranker`)."""
+    :func:`otto_tpu.models.ranker.train_ranker`).  With ``mesh`` each fold
+    trains data-parallel over the mesh's ``data`` axis."""
     rng = np.random.default_rng(config.seed)
     S, C, F = data.features.shape
     edges = fit_bin_edges(data.features[data.mask], config.n_bins)
@@ -541,6 +593,7 @@ def train_gbdt_ranker(
             data.mask[train_sessions], keep.astype(np.float32), config,
             val=(binned[val_sessions], data.labels[val_sessions], data.mask[val_sessions]),
             seed_offset=fold,
+            mesh=mesh,
         )
         forests.append(forest)
         vb = binned[val_sessions].reshape(-1, F)

@@ -82,3 +82,32 @@ def make_dp_sequence_step(mesh: Mesh, optimizer, data_axis: str = "data"):
         )(params, opt_state, seq, mask, tgt, negs)
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_dp_gbdt_grow(mesh: Mesh, *, depth: int, n_bins: int,
+                      hist_chunk: int = 1 << 18, data_axis: str = "data"):
+    """Data-parallel GBDT tree growth: rows shard over ``data``; each device
+    builds local histograms and one ``psum`` per level merges them over ICI
+    (bytes per level = nodes * features * bins * 3 * 4, independent of row
+    count); split search runs redundantly so every device grows the identical
+    tree; rows route locally.  The reference's LightGBM/XGBoost engines are
+    single-node OpenMP — this is the scale-out they lack.
+
+    Returns ``grow(binned, grad, hess, weight, bag, feat_mask, reg_lambda,
+    min_split_gain, min_data_in_leaf, min_child_weight, learning_rate)`` with
+    the row-dimension inputs sharded over ``data`` and the tree outputs
+    replicated (leaf ids stay sharded)."""
+    from functools import partial
+
+    from otto_tpu.models.gbdt import _grow_tree_impl
+
+    fn = partial(_grow_tree_impl, depth=depth, n_bins=n_bins,
+                 hist_chunk=hist_chunk, axis_name=data_axis)
+    D, R = P(data_axis), P()
+    return jax.jit(shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(D, D, D, D, D, R, R, R, R, R, R),
+        out_specs=(R, R, R, R, D),
+        check_vma=False,
+    ))

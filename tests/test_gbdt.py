@@ -206,3 +206,46 @@ def test_train_gbdt_ranker_protocol_and_persistence(rng, tmp_path):
         loaded.predict(feats, mask), model.predict(feats, mask), rtol=1e-6
     )
     assert loaded.feature_names == data.feature_names
+
+
+def test_dp_grow_tree_matches_single_device(rng):
+    """Sharded histogram-psum growth produces the identical tree (the split
+    search is deterministic given merged histograms)."""
+    import jax.numpy as jnp
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.models.gbdt import _grow_tree
+    from otto_tpu.parallel import make_dp_gbdt_grow, make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    N, F, n_bins = 512, 6, 16
+    binned = jnp.asarray(rng.integers(0, n_bins, size=(N, F)).astype(np.uint8))
+    g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    h = jnp.asarray(rng.uniform(0.1, 1.0, size=N).astype(np.float32))
+    ones = jnp.ones(N, jnp.float32)
+    scalars = (jnp.float32(0.01), jnp.float32(0.0), jnp.float32(1.0),
+               jnp.float32(0.0), jnp.float32(0.5))
+    args = (binned, g, h, ones, ones, jnp.ones(F, bool), *scalars)
+    single = _grow_tree(*args, depth=4, n_bins=n_bins, hist_chunk=1 << 18)
+    dp = make_dp_gbdt_grow(mesh, depth=4, n_bins=n_bins)(*args)
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(dp[0]))  # feats
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(dp[1]))  # thrs
+    np.testing.assert_allclose(np.asarray(single[2]), np.asarray(dp[2]), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(single[4]), np.asarray(dp[4]))  # leaf ids
+
+
+def test_fit_gbdt_data_parallel(rng):
+    """Whole-forest data-parallel training (sessions sharded, trees identical
+    on every device) reaches the same quality as single-device."""
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.parallel import make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    feats, labels, mask = _listwise_problem(rng, S=250)  # not divisible by 8: pads
+    edges = fit_bin_edges(feats[mask], SMALL.n_bins)
+    binned = bin_features(feats, edges)
+    cfg = SMALL.replace(n_trees=20)
+    forest = fit_gbdt(binned, labels, mask, mask.astype(np.float32), cfg, mesh=mesh)
+    scores = forest.predict_binned(binned.reshape(-1, feats.shape[-1])).reshape(mask.shape)
+    scores = np.where(mask, scores, -np.inf)
+    top1 = np.take_along_axis(labels, np.argmax(scores, axis=1)[:, None], axis=1)
+    assert top1.mean() > 0.8
