@@ -226,7 +226,10 @@ def main(argv=None):
     parser.add_argument("--val-fraction", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--config", default=None,
-                        help="model YAML (sequence / embedding_knn / doc2vec)")
+                        help="model YAML (sequence / embedding_knn / doc2vec / two_stage ranker)")
+    parser.add_argument("--ranker", choices=["tower", "gbdt"], default="tower",
+                        help="two_stage reranking engine: listwise MLP tower or the "
+                             "TPU-native histogram GBDT (the reference's LightGBM stage)")
     args = parser.parse_args(argv)
 
     if str(args.events).endswith(".jsonl"):
@@ -242,9 +245,13 @@ def main(argv=None):
                 raise SystemExit(
                     "two_stage submission mode: use otto_tpu.twostage.predict_two_stage"
                 )
+            from otto_tpu.config import GBDTConfig, RankerConfig
             from otto_tpu.twostage import run_two_stage
 
-            art = run_two_stage(train, target, args.n_aids, labels=labels)
+            cfg_cls = GBDTConfig if args.ranker == "gbdt" else RankerConfig
+            rcfg = cfg_cls.from_yaml(args.config) if args.config else cfg_cls()
+            art = run_two_stage(train, target, args.n_aids, labels=labels,
+                                ranker_config=rcfg)
             return BaselineResult(art.predictions, art.report)
         runner = MODEL_RUNNERS[args.model]
         if args.model == "aid_weight":

@@ -160,3 +160,30 @@ def test_cli_new_model_families(tmp_path):
         )
         assert r.returncode == 0, (model, r.stderr[-2000:])
         assert "weighted recall@20" in r.stdout, model
+
+
+def test_cli_two_stage_gbdt_engine(tmp_path):
+    """two_stage validation through the CLI with the GBDT engine + a YAML
+    ranker config (the reference's lgb config-path contract)."""
+    import subprocess, sys, os
+
+    es = synthetic_events(n_sessions=300, n_aids=200, seed=37)
+    p = tmp_path / "events.parquet"
+    es.to_parquet(p)
+    cfg = tmp_path / "gbdt.yaml"
+    cfg.write_text(
+        "n_trees: 8\nearly_stopping_rounds: 1000\nlearning_rate: 0.3\n"
+        "max_depth: 3\nn_bins: 32\nmin_data_in_leaf: 1\nmin_split_gain: 0.0\n"
+        "min_child_weight: 1.0e-6\nn_folds: 2\nchunk_sessions: 64\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "otto_tpu.pipelines", "two_stage", "validation",
+         "--events", str(p), "--n-aids", "200", "--val-fraction", "0.3",
+         "--ranker", "gbdt", "--config", str(cfg)],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "weighted recall@20" in r.stdout
