@@ -5,7 +5,7 @@ weighted recall@20."""
 import sys as _sys, pathlib as _pathlib
 _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
 
-from otto_tpu.config import CovisitConfig, RankerConfig, SGNSConfig
+from otto_tpu.config import CovisitConfig, GBDTConfig, RankerConfig, SGNSConfig
 from otto_tpu.data import splits, synthetic_events
 from otto_tpu.eval import evaluate_predictions
 from otto_tpu.logging_utils import configure_logging
@@ -49,6 +49,14 @@ art = run_two_stage(
     sgns_config=SGNSConfig(dim=16, window=5, negatives=10, epochs=3),
 )
 rows.append(("two_stage (+sgns)", art.report))
+art_g = run_two_stage(
+    sp.train, sp.val_input, N, labels=sp.val_labels,
+    matrices=art.matrices, sgns=art.sgns,  # reuse stage-0 artifacts
+    ranker_config=GBDTConfig(n_trees=300, early_stopping_rounds=60, eval_every=5,
+                             learning_rate=0.08, max_depth=6, n_bins=128,
+                             min_data_in_leaf=30, n_folds=3, chunk_sessions=512),
+)
+rows.append(("two_stage (gbdt engine)", art_g.report))
 
 print(f"\n{'model':24s} weighted  clicks  carts  orders")
 for name, r in rows:
