@@ -31,6 +31,7 @@ import optax
 
 from otto_tpu.config import CFConfig, MFConfig
 from otto_tpu.data.events import EventStore
+from otto_tpu.data.loader import BatchLoader
 from otto_tpu.logging_utils import get_logger
 
 log = get_logger(__name__)
@@ -250,17 +251,18 @@ def _train_epochs(
     for epoch in range(epochs):
         order = rng.permutation(len(train[0]))
         tl = []
-        n_batches = max(len(order) // B, 1)
-        for i in range(n_batches):
-            sel = order[i * B : (i + 1) * B]
-            batch = tuple(jnp.asarray(d[sel]) for d in train)
+        # prefetching loader overlaps host->device transfer with the previous
+        # step's compute (the Merlin-dataloader replacement, data/loader.py);
+        # losses stay on device until epoch end so steps never synchronize
+        for batch in BatchLoader(train, B, order=order):
             if sparse_lookups is None:
                 params, opt_state, l = step(params, opt_state, *batch)
             else:
                 lr = jnp.float32(lr_schedule(global_step)) if lr_schedule else jnp.float32(0.05)
                 params, opt_state, l = sparse_step(params, opt_state, lr, *batch)
             global_step += 1
-            tl.append(float(l))
+            tl.append(l)
+        tl = [float(x) for x in tl]
         vl, _ = val_loss_fn(params)
         vl = float(vl)
         history.append({"epoch": epoch, "train_loss": float(np.mean(tl)), "val_loss": vl})

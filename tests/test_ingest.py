@@ -110,3 +110,40 @@ def test_native_submission_writer_matches_python(tmp_path):
     b = sub.read_submission(tmp_path / "p.csv.gz")
     assert a == b
     assert native_available, "native writer failed to build in this environment"
+
+
+def test_batch_loader_prefetch_and_order(rng):
+    """BatchLoader (the Merlin-dataloader replacement): fixed-shape device
+    batches in the given order, wrap-padded remainder, clean early stop."""
+    import jax.numpy as jnp
+    from otto_tpu.data.loader import BatchLoader
+
+    x = np.arange(10, dtype=np.int32)
+    y = np.arange(10, dtype=np.float32) * 2
+    order = rng.permutation(10)
+    batches = list(BatchLoader((x, y), 4, order=order, drop_remainder=False))
+    assert len(batches) == 3
+    got_x = np.concatenate([np.asarray(b[0]) for b in batches])
+    # first 10 entries follow the permutation; remainder wraps to the front
+    np.testing.assert_array_equal(got_x[:10], x[order])
+    np.testing.assert_array_equal(got_x[10:], x[order[:2]])
+    for bx, by in batches:
+        assert bx.shape == (4,) and by.shape == (4,)
+        np.testing.assert_allclose(np.asarray(by), np.asarray(bx) * 2.0)
+    assert isinstance(batches[0][0], jnp.ndarray)
+
+    # drop_remainder (the trainer default) drops the short tail
+    assert len(list(BatchLoader((x, y), 4, order=order))) == 2
+
+    # abandoning the iterator mid-stream must not hang
+    loader = BatchLoader((np.arange(100), ), 5, prefetch=2)
+    it = iter(loader)
+    next(it)
+    loader.close()
+
+
+def test_batch_loader_length_mismatch():
+    from otto_tpu.data.loader import BatchLoader
+
+    with np.testing.assert_raises(ValueError):
+        BatchLoader((np.arange(4), np.arange(5)), 2)
