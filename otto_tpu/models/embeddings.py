@@ -219,12 +219,15 @@ def train_sgns(
             store, config.window, rng, subsample_t=config.subsample_t, counts=counts
         )
         perm = rng.permutation(len(c))
-        c, x = c[perm], x[perm]
         n_batches = max(len(c) // B, 1)
         if total_steps is None:
             total_steps = n_batches * config.epochs
         losses = []
-        for i in range(n_batches):
+        # prefetching loader (data/loader.py): batch transfer overlaps the
+        # previous step; short tails wrap to keep one compiled step shape
+        from otto_tpu.data.loader import BatchLoader
+
+        for i, (bc, bx) in enumerate(BatchLoader((c, x), B, order=perm)):
             lr = config.learning_rate * max(
                 1.0 - step / max(total_steps, 1), config.min_learning_rate / config.learning_rate
             )
@@ -234,8 +237,8 @@ def train_sgns(
                 w_out,
                 acc_in,
                 acc_out,
-                jnp.asarray(c[i * B : (i + 1) * B]),
-                jnp.asarray(x[i * B : (i + 1) * B]),
+                bc,
+                bx,
                 neg_cdf,
                 jnp.float32(lr),
                 sub,
