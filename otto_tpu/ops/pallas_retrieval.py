@@ -1,28 +1,40 @@
-"""Fused Pallas retrieval kernel: blocked matmul + per-window argmax.
+"""Fused Pallas retrieval: one-pass packed windowed-max + peeled selection.
 
 Replaces the reference's Annoy approximate-NN index (C++:
 src/covisitation/inference.py:58-69, src/ranker/regular_candidate_generation.py:54-70,
 src/gensim_fasttext/inference.py:40-65) with the two-stage TPU top-k pattern
-(Chern et al., "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s"):
+(Chern et al., "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s"), tuned so
+every stage is a single cheap pass:
 
-- **Stage 1 (Pallas kernel)** — stream item blocks HBM->VMEM, score them
+- **Stage 1 (Pallas)** — stream transposed item blocks HBM->VMEM, score them
   against a VMEM-resident query tile on the MXU, and reduce each run of 128
-  consecutive items to its (max score, argmax index) on the VPU *inside the
-  kernel*.  The [B, N] score matrix is never materialized in HBM — per item
-  sweep the kernel writes only [B, N/128] window maxima, a 128x reduction in
-  HBM store traffic versus the unfused ``matmul -> approx_max_k`` program,
-  whose score materialization dominates its runtime.
-- **Stage 2 (XLA)** — exact ``lax.top_k`` over the N/128 window maxima per
-  query, then a gather of the stage-1 argmax indices.
+  consecutive items to ONE packed int32 on the VPU: the score's float bits
+  (shifted positive so integer order == float order) with the low 7 bits
+  replaced by the in-window lane.  A single max tree yields value AND argmax
+  simultaneously; the [B, N] score matrix never exists in HBM.
 
-Returned scores are exact dot / euclidean-order values of the returned items.
-Like the TPU PartialReduce op, the windowed-max structure can *miss* an entry
-when two of the true top-k fall in the same 128-item window: per-entry recall
-is ~``1 - (k-1)/(N/128)`` (>= 0.993 at OTTO scale for k=100).  Use
+  Three tricks keep the VPU work to ~2 ops/element:
+  * the euclidean bias (-||x||^2), the positivity shift C, and the padding
+    mask are all *folded into the matmul* via two augmented dimensions —
+    item column [x, -||x||^2, 1] against query row [2q, 1, C] (pad columns
+    are all-zero -> score exactly 0, below every real score which is >= 1);
+  * C is a power of two, exact in bf16, so the shift cannot perturb order;
+  * packing costs one AND + one OR instead of a separate argmax tree.
+
+- **Stage 2 (Pallas)** — :func:`otto_tpu.ops.row_topk.peel_rows` over the
+  [B, N/128] packed window maxima: R rounds of pop-the-max-of-each-128-window,
+  entirely VMEM-resident (XLA's top_k would full-sort: ~26 ms for this shape).
+
+- **Stage 3 (XLA)** — exact ``top_k`` over the R*(N/16384) surviving
+  candidates, decode (column*128 + lane), then rescore the k winners exactly
+  against the original table and re-sort, so returned scores are exact and
+  the 25-bit packed-order truncation cannot affect the final ordering.
+
+Recall: an entry is missed if another top-k entry shares its 128-item window
+(stage 1, ~(k-1)*128/N) or if >= R stronger window-maxima share its stage-2
+window (~C(k-1,R)*(128/Nw)^R).  At OTTO scale (N=1.86M, k=100, R=6) the
+compound per-entry recall is ~0.992.  Use
 :func:`otto_tpu.ops.retrieval.topk_scan` when exactness is required.
-
-The item table is held transposed ``[D, N]`` (items along lanes) and in
-bfloat16, halving HBM table traffic; accumulation is float32 on the MXU.
 """
 
 from __future__ import annotations
@@ -35,21 +47,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from otto_tpu.ops.row_topk import peel_rows
+
 NEG = float(np.float32(-3.0e38))
-WINDOW = 128  # items per reduction window (one VPU lane row)
+WINDOW = 128
+LANE_MASK = WINDOW - 1  # low 7 bits carry the in-window lane
 
 
-def _stage1_kernel(n_items, metric, with_argmax, q_ref, it_ref, sq_ref, ws_ref, wi_ref):
-    """One (query-tile, item-block) grid cell.
+def _stage1_kernel(q_ref, it_ref, out_ref):
+    """q_ref [TQ, DA] x it_ref [DA, IB] -> packed window maxima [TQ, IB/128].
 
-    q_ref  [TQ, D]   — query tile, resident across the item sweep
-    it_ref [D, IB]   — transposed item block
-    sq_ref [1, IB]   — per-item squared norms (euclidean only)
-    ws_ref [TQ, IB/WINDOW] — window max scores
-    wi_ref [TQ, IB/WINDOW] — global item index of each window max
+    Scores are positive by construction (augmented dims), so their float bits
+    are order-isomorphic as int32; low 7 bits are overwritten with the lane.
     """
-    j = pl.program_id(1)
-    tq, d = q_ref.shape
+    tq = q_ref.shape[0]
     ib = it_ref.shape[1]
     w = ib // WINDOW
 
@@ -57,114 +68,132 @@ def _stage1_kernel(n_items, metric, with_argmax, q_ref, it_ref, sq_ref, ws_ref, 
         q_ref[:], it_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TQ, IB]
-    if metric == "euclidean":
-        s = 2.0 * s - sq_ref[0, :][None, :]
-
-    # mask table padding (the tail block may run past n_items)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, ib), 1)
-    gidx = j * ib + col
-    s = jnp.where(gidx < n_items, s, NEG)
-
-    s3 = s.reshape(tq, w, WINDOW)
-    wmax = jnp.max(s3, axis=2)
-    base = j * ib + jax.lax.broadcasted_iota(jnp.int32, (tq, w), 1) * WINDOW
-    if with_argmax:
-        warg = jnp.argmax(s3, axis=2).astype(jnp.int32)
-        wi_ref[:] = base + warg
-    else:  # benchmark probe: skip the argmax reduction
-        wi_ref[:] = base
-    ws_ref[:] = wmax
+    )  # [TQ, IB], all entries >= 1 except pad columns which are exactly 0
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, ib), 1) & LANE_MASK
+    packed = (bits & ~LANE_MASK) | lane
+    out_ref[:] = jnp.max(packed.reshape(tq, w, WINDOW), axis=2)
 
 
-@partial(jax.jit,
-         static_argnames=("k", "tile", "block", "metric", "n_items", "interpret",
-                          "stage2"))
-def _topk_windowed(queries, items_t, sq, k, tile, block, metric, n_items,
-                   interpret=False, stage2="exact"):
-    b, d = queries.shape
-    n_pad = items_t.shape[1]
-    n_blocks = n_pad // block
-    n_tiles = b // tile
+@partial(jax.jit, static_argnames=("tile", "block", "interpret"))
+def _stage1(q_aug, items_aug_t, tile, block, interpret=False):
+    b, da = q_aug.shape
+    n_pad = items_aug_t.shape[1]
     nw = n_pad // WINDOW
-
-    ws, wi = pl.pallas_call(
-        partial(_stage1_kernel, n_items, metric, stage2 != "stage1_noarg"),
-        grid=(n_tiles, n_blocks),
+    return pl.pallas_call(
+        _stage1_kernel,
+        grid=(b // tile, n_pad // block),
         in_specs=[
-            pl.BlockSpec((tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, da), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((da, block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile, block // WINDOW), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, block // WINDOW), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nw), jnp.float32),
-            jax.ShapeDtypeStruct((b, nw), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((tile, block // WINDOW), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nw), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_pad * d,
-            bytes_accessed=n_tiles * n_pad * d * items_t.dtype.itemsize
-            + b * d * queries.dtype.itemsize + 2 * b * nw * 4,
+            flops=2 * b * n_pad * da,
+            bytes_accessed=(b // tile) * n_pad * da * items_aug_t.dtype.itemsize
+            + b * da * q_aug.dtype.itemsize + b * nw * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, items_t, sq)
-
-    if stage2 in ("stage1_only", "stage1_noarg"):  # benchmark probes
-        return ws, wi
-    if stage2 == "approx":
-        top_s, pos = jax.lax.approx_max_k(ws, k, recall_target=0.99)
-        pos = pos.astype(jnp.int32)
-    else:
-        top_s, pos = jax.lax.top_k(ws, k)
-    top_i = jnp.take_along_axis(wi, pos, axis=1)
-    return top_s, top_i
+    )(q_aug, items_aug_t)
 
 
 class PallasRetriever:
     """Prepared item table + fused top-k search.
 
-    ``items`` [N, D] float; stored transposed bf16 (f32 accumulation).
-    ``metric``: "dot" or "euclidean" (Annoy-order: rank by 2 q.x - ||x||^2).
+    ``items`` [N, D] float.  ``metric``: "dot" (score q.x) or "euclidean"
+    (Annoy euclidean order: score 2 q.x - ||x||^2).  The table is stored
+    transposed in ``table_dtype`` (default bfloat16 — halves HBM traffic;
+    final scores are rescored exactly from the same table dtype).
     """
 
     def __init__(self, items, metric: str = "dot", block: int = 16384,
                  table_dtype=jnp.bfloat16, interpret: bool = False):
-        self.interpret = interpret
+        if block % (WINDOW * WINDOW):
+            raise ValueError("block must be a multiple of 128*128")
         items = jnp.asarray(items)
         self.n_items, self.dim = items.shape
         self.metric = metric
         self.block = block
+        self.interpret = interpret
         n_pad = (-self.n_items) % block
+
         itf = items.astype(jnp.float32)
-        self.sq = jnp.pad(jnp.sum(itf * itf, axis=1), (0, n_pad))[None, :]
-        if metric != "euclidean":
-            self.sq = jnp.zeros_like(self.sq)
-        self.items_t = jnp.pad(
-            items.astype(table_dtype).T, ((0, 0), (0, n_pad))
+        sq = jnp.sum(itf * itf, axis=1)
+        self.max_sq = float(jnp.max(sq))
+        self.items = items.astype(table_dtype)  # [N, D] for exact rescoring
+        self.sq = sq  # [N] float32
+        # augmented transposed table [D+2, N_pad]: rows [x; -||x||^2; 1]
+        aug = jnp.concatenate(
+            [itf, -sq[:, None], jnp.ones((self.n_items, 1), jnp.float32)], axis=1
+        )
+        self.items_aug_t = jnp.pad(
+            aug.astype(table_dtype).T, ((0, 0), (0, n_pad))
         )
 
-    def topk(self, queries, k: int, tile: int = 128, stage2: str = "exact"):
+    def _augment_queries(self, q):
+        """[B, D] -> [B, D+2] = [aq, 1, C]; C a power of two making every
+        real score positive (>= 1) in both metrics."""
+        qf = q.astype(jnp.float32)
+        qsq_max = jnp.max(jnp.sum(qf * qf, axis=1))
+        bound = 2.0 + qsq_max + 2.0 * self.max_sq
+        c = jnp.exp2(jnp.ceil(jnp.log2(bound)))  # bf16-exact shift
+        # score = a*(q.x) - u*||x||^2 + c against item column [x, -||x||^2, 1]
+        a, u = (2.0, 1.0) if self.metric == "euclidean" else (1.0, 0.0)
+        b = q.shape[0]
+        return jnp.concatenate(
+            [a * qf, jnp.full((b, 1), u, jnp.float32),
+             jnp.broadcast_to(c, (b, 1))], axis=1
+        ), c
+
+    def _rescore(self, q, idx):
+        """Exact scores of items ``idx`` [B, k] under the metric."""
+        gathered = self.items[idx].astype(jnp.float32)  # [B, k, D]
+        s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), gathered)
+        if self.metric == "euclidean":
+            s = 2.0 * s - self.sq[idx]
+        return s
+
+    def topk(self, queries, k: int, tile: int = 128, rounds: int = 6):
         """queries [B, D] -> (scores [B, k], indices [B, k]), descending."""
+        queries = jnp.asarray(queries)
         b, d = queries.shape
-        if k > self.items_t.shape[1] // WINDOW:
-            # fewer windows than k: the table is tiny — dense exact path
-            s = jnp.asarray(queries).astype(jnp.float32) @ self.items_t.astype(jnp.float32)
-            if self.metric == "euclidean":
-                s = 2.0 * s - self.sq[0][None, :]
-            col = jnp.arange(self.items_t.shape[1])
-            s = jnp.where(col[None, :] < self.n_items, s, NEG)
-            return jax.lax.top_k(s, k)
+        n_pad = self.items_aug_t.shape[1]
+        n_cands = rounds * (n_pad // (WINDOW * WINDOW))
+        if k > n_cands or n_pad <= 4 * self.block:
+            return self._dense_topk(queries, k)
+
         pad_q = (-b) % tile
-        q = jnp.asarray(queries).astype(self.items_t.dtype)
+        q_aug, _ = self._augment_queries(queries)
+        q_aug = q_aug.astype(self.items_aug_t.dtype)
         if pad_q:
-            q = jnp.concatenate([q, jnp.zeros((pad_q, d), q.dtype)], axis=0)
-        s, i = _topk_windowed(q, self.items_t, self.sq, k, tile, self.block,
-                              self.metric, self.n_items,
-                              interpret=self.interpret, stage2=stage2)
-        return s[:b], i[:b]
+            q_aug = jnp.concatenate(
+                [q_aug, jnp.zeros((pad_q, q_aug.shape[1]), q_aug.dtype)], axis=0
+            )
+
+        packed = _stage1(q_aug, self.items_aug_t, tile, self.block,
+                         interpret=self.interpret)
+        row_block = min(64, packed.shape[0])
+        vals, cols = peel_rows(packed, rounds, row_block=row_block,
+                               interpret=self.interpret)
+        top_v, pos = jax.lax.top_k(vals, k)
+        col = jnp.take_along_axis(cols, pos, axis=1)       # window index
+        lane = top_v & LANE_MASK
+        idx = jnp.minimum(col * WINDOW + lane, self.n_items - 1)
+        idx = idx[:b]
+
+        s_exact = self._rescore(queries, idx)
+        # pad windows pack to [0, 128) (score bits 0 | lane); every real score
+        # is >= 1.0 whose bits are 0x3F800000 — rank pads out
+        s_exact = jnp.where(top_v[:b] >= 0x3F800000, s_exact, NEG)
+        s_sorted, order = jax.lax.top_k(s_exact, k)
+        return s_sorted, jnp.take_along_axis(idx, order, axis=1)
+
+    def _dense_topk(self, queries, k):
+        """Exact path for tables too small for the tiled kernel."""
+        s = queries.astype(jnp.float32) @ self.items.astype(jnp.float32).T
+        if self.metric == "euclidean":
+            s = 2.0 * s - self.sq[None, :]
+        return jax.lax.top_k(s, min(k, self.n_items))

@@ -1,75 +1,103 @@
-"""Fused Pallas top-k retrieval vs numpy oracle (interpret mode on CPU).
+"""Fused Pallas retrieval + peel row-top-k vs numpy oracles (interpret mode).
 
-The kernel's windowed-max structure is deterministic: for every query, each
-run of 128 consecutive items contributes exactly its max-scoring item.  The
-oracle reproduces that reduction in numpy, so scores/indices must match
-bit-for-bit (modulo bf16 table rounding, which the oracle also applies).
+The peel kernel is deterministic (pop the max of every 128-window, R rounds),
+so it has an exact numpy oracle.  The full retriever is validated by recall
+against exact brute force plus exactness of the returned scores.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from otto_tpu.ops.pallas_retrieval import WINDOW, PallasRetriever
+from otto_tpu.ops.pallas_retrieval import PallasRetriever
+from otto_tpu.ops.row_topk import WINDOW, peel_rows, row_topk
 
 
-def _oracle(queries, items, k, metric, n_pad):
-    q = queries.astype(jnp.bfloat16).astype(np.float32)  # retriever casts q too
-    it = items.astype(jnp.bfloat16).astype(np.float32)
-    s = q @ it.T
-    if metric == "euclidean":
-        # the retriever computes norms from the *unrounded* f32 table
-        s = 2.0 * s - np.sum(items.astype(np.float32) ** 2, axis=1)[None, :]
-    pad = n_pad - s.shape[1]
-    s = np.pad(s, ((0, 0), (0, pad)), constant_values=-3.0e38)
-    b, n = s.shape
-    s3 = s.reshape(b, n // WINDOW, WINDOW)
-    wmax = s3.max(axis=2)
-    warg = s3.argmax(axis=2) + np.arange(n // WINDOW)[None, :] * WINDOW
-    order = np.argsort(-wmax, axis=1, kind="stable")[:, :k]
-    rows = np.arange(b)[:, None]
-    return wmax[rows, order], warg[rows, order]
+# ---------------------------------------------------------------- peel ----
+def _peel_oracle(x, rounds):
+    x = x.copy()
+    b, m = x.shape
+    w = m // WINDOW
+    vals = np.empty((b, rounds * w), x.dtype)
+    cols = np.empty((b, rounds * w), np.int32)
+    fill = np.iinfo(x.dtype).min if np.issubdtype(x.dtype, np.integer) else -np.inf
+    x3 = x.reshape(b, w, WINDOW)
+    for r in range(rounds):
+        mx = x3.max(axis=2)
+        am = x3.argmax(axis=2)
+        vals[:, r * w:(r + 1) * w] = mx
+        cols[:, r * w:(r + 1) * w] = am + np.arange(w)[None, :] * WINDOW
+        x3[x3 == mx[:, :, None]] = fill
+    return vals, cols
 
 
-@pytest.mark.parametrize("metric", ["dot", "euclidean"])
-def test_windowed_topk_matches_oracle(metric):
-    rng = np.random.default_rng(3)
-    n, d, b, k = 700, 32, 9, 5
-    items = rng.normal(size=(n, d)).astype(np.float32)
-    queries = rng.normal(size=(b, d)).astype(np.float32)
-
-    r = PallasRetriever(items, metric=metric, block=256, interpret=True)
-    s, i = r.topk(jnp.asarray(queries), k=k, tile=8)
-    es, ei = _oracle(queries, items, k, metric, r.items_t.shape[1])
-
-    np.testing.assert_allclose(np.asarray(s), es, rtol=2e-2, atol=1e-1)
-    # indices must agree wherever window maxima are not near-ties
-    gap = np.abs(np.diff(es, axis=1)).min()
-    if gap > 1e-3:
-        np.testing.assert_array_equal(np.asarray(i), ei)
-
-
-def test_high_recall_vs_exact():
-    """With random data the windowed reduction recovers nearly all of the
-    exact top-k (misses only same-window collisions)."""
+@pytest.mark.parametrize("dtype", [np.float32, np.int32])
+def test_peel_rows_matches_oracle(dtype):
     rng = np.random.default_rng(0)
-    n, d, b, k = 32768, 32, 16, 5  # 256 windows -> ~1.6% per-entry miss rate
+    b, m, rounds = 8, 512, 3
+    if dtype == np.int32:
+        x = rng.integers(0, 1 << 30, (b, m)).astype(dtype)
+    else:
+        x = rng.normal(size=(b, m)).astype(dtype)
+    v, c = peel_rows(jnp.asarray(x), rounds, row_block=8, interpret=True)
+    ev, ec = _peel_oracle(x, rounds)
+    np.testing.assert_array_equal(np.asarray(v), ev)
+    np.testing.assert_array_equal(np.asarray(c), ec)
+
+
+def test_row_topk_exact_when_rounds_ge_k():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 1024)).astype(np.float32)
+    v, i = row_topk(jnp.asarray(x), k=6, rounds=6, row_block=8, interpret=True)
+    ev, ei = jax.lax.top_k(jnp.asarray(x), 6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ev))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+
+
+def test_row_topk_small_row_falls_back():
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 100)).astype(np.float32))
+    v, i = row_topk(x, k=5)
+    ev, ei = jax.lax.top_k(x, 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+
+
+# ----------------------------------------------------------- retriever ----
+@pytest.mark.parametrize("metric", ["dot", "euclidean"])
+def test_retriever_high_recall_and_exact_scores(metric):
+    rng = np.random.default_rng(0)
+    n, d, b, k = 5 * 16384 + 123, 32, 16, 20
     items = rng.normal(size=(n, d)).astype(np.float32)
     queries = rng.normal(size=(b, d)).astype(np.float32)
 
-    r = PallasRetriever(items, metric="dot", block=2048, interpret=True,
+    r = PallasRetriever(items, metric=metric, interpret=True,
                         table_dtype=jnp.float32)
-    _, i = r.topk(jnp.asarray(queries), k=k, tile=8)
-    exact = np.argsort(-(queries @ items.T), axis=1)[:, :k]
-    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(np.asarray(i), exact))
+    s, i = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6)
+    s, i = np.asarray(s), np.asarray(i)
+
+    scores = queries @ items.T
+    if metric == "euclidean":
+        scores = 2.0 * scores - np.sum(items * items, axis=1)[None, :]
+    exact_i = np.argsort(-scores, axis=1)[:, :k]
+
+    # indices valid, no pads
+    assert i.min() >= 0 and i.max() < n
+    # returned scores are the exact metric scores of the returned items
+    np.testing.assert_allclose(s, np.take_along_axis(scores, i, axis=1),
+                               rtol=1e-5, atol=1e-4)
+    # high recall vs exact brute force
+    hits = sum(len(set(map(int, a)) & set(map(int, e)))
+               for a, e in zip(i, exact_i))
     assert hits / (b * k) >= 0.9
+    # descending order
+    assert (np.diff(s, axis=1) <= 1e-5).all()
 
 
-def test_padding_never_returned():
-    rng = np.random.default_rng(1)
-    items = rng.normal(size=(130, 32)).astype(np.float32) - 10.0  # all-negative dots unlikely; force many pads
-    queries = rng.normal(size=(3, 32)).astype(np.float32)
-    r = PallasRetriever(items, metric="dot", block=256, interpret=True)
-    _, i = r.topk(jnp.asarray(queries), k=20, tile=8)
-    assert np.asarray(i).max() < 130
-    assert np.asarray(i).min() >= 0
+def test_retriever_tiny_table_dense_fallback():
+    rng = np.random.default_rng(3)
+    items = rng.normal(size=(500, 16)).astype(np.float32)
+    queries = rng.normal(size=(7, 16)).astype(np.float32)
+    r = PallasRetriever(items, metric="dot", interpret=True)
+    s, i = r.topk(jnp.asarray(queries), k=10)
+    exact = np.argsort(-(queries @ items.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(i), exact)
