@@ -21,7 +21,7 @@ def test_calendar_matches_datetime():
     import datetime
 
     for i, t in enumerate(ts):
-        dt = datetime.datetime.utcfromtimestamp(int(t) + 7200)
+        dt = datetime.datetime.fromtimestamp(int(t) + 7200, datetime.UTC)
         assert cal["hour"][i] == dt.hour
         assert cal["day_of_week"][i] == dt.weekday()
         assert cal["day_of_year"][i] == dt.timetuple().tm_yday
