@@ -92,20 +92,31 @@ def build_neighbor_table(
     block: int = 16384,
     scores_out: bool = False,
     exact: bool = False,
+    backend: str = "approx",
 ):
     """All-items kNN table: for every aid, its top-k nearest aids.
 
     Replaces the reference's per-query ``annoy.get_nns_by_item`` with one
     batched sweep; returns int32 [N, k] (+ float32 scores when requested).
     ``exclude_self`` drops the query aid itself from its row (the reference
-    skips neighbor 0 — inference.py:167).  Uses the PartialReduce fast path
-    by default; ``exact=True`` selects the exact blocked scan.
+    skips neighbor 0 — inference.py:167).  ``backend``: "approx" (TPU
+    PartialReduce), "pallas" (fused packed windowed-max kernel,
+    :mod:`otto_tpu.ops.pallas_retrieval`); ``exact=True`` overrides with the
+    exact blocked scan.
     """
     n = embeddings.shape[0]
     fetch = k + 1 if exclude_self else k
     out = np.empty((n, k), np.int32)
     out_s = np.empty((n, k), np.float32) if scores_out else None
     items = jnp.asarray(embeddings)
+    retriever = None
+    if backend == "pallas" and not exact:
+        from otto_tpu.ops.pallas_retrieval import PallasRetriever
+
+        retriever = PallasRetriever(
+            items, metric=metric,
+            interpret=jax.default_backend() == "cpu",  # Mosaic needs a TPU
+        )
     for start in range(0, n, query_batch):
         end = min(start + query_batch, n)
         q = items[start:end]
@@ -114,6 +125,8 @@ def build_neighbor_table(
             q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], axis=0)
         if exact:
             s, i = topk_scan(q, items, k=fetch, block=block, metric=metric)
+        elif retriever is not None:
+            s, i = retriever.topk(q, k=fetch)
         else:
             s, i = topk_approx(q, items, k=fetch, metric=metric,
                                tile=min(256, query_batch))

@@ -81,3 +81,13 @@ def test_topk_approx_matches_exact_on_small():
     np.testing.assert_allclose(
         np.asarray(s_a), np.take_along_axis(full, ia, axis=1), rtol=1e-4, atol=1e-4
     )
+
+
+def test_neighbor_table_pallas_backend_agrees():
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(400, 16)).astype(np.float32)
+    a = build_neighbor_table(emb, k=5, metric="euclidean", query_batch=64, block=128)
+    b = build_neighbor_table(emb, k=5, metric="euclidean", query_batch=64,
+                             block=128, backend="pallas")
+    # tiny table -> pallas backend takes its exact dense path; rows must agree
+    assert (a == b).mean() > 0.98
