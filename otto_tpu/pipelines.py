@@ -230,28 +230,46 @@ def main(argv=None):
     parser.add_argument("--ranker", choices=["tower", "gbdt"], default="tower",
                         help="two_stage reranking engine: listwise MLP tower or the "
                              "TPU-native histogram GBDT (the reference's LightGBM stage)")
+    parser.add_argument("--test-events", default=None,
+                        help="submission mode: separate test events file to predict "
+                             "(the reference's train.jsonl/test.jsonl split); defaults "
+                             "to predicting --events sessions themselves")
+    parser.add_argument("--artifact-dir", default=None,
+                        help="two_stage per-stage persistence / crash-resume directory")
     args = parser.parse_args(argv)
 
-    if str(args.events).endswith(".jsonl"):
-        from otto_tpu.data.ingest import read_jsonl
+    def _read(path):
+        if str(path).endswith(".jsonl"):
+            from otto_tpu.data.ingest import read_jsonl
 
-        store = read_jsonl(args.events)
-    else:
-        store = EventStore.from_parquet(args.events)
+            return read_jsonl(path)
+        return EventStore.from_parquet(path)
+
+    store = _read(args.events)
 
     def dispatch(train, target, labels):
         if args.model == "two_stage":
-            if labels is None:
-                raise SystemExit(
-                    "two_stage submission mode: use otto_tpu.twostage.predict_two_stage"
-                )
             from otto_tpu.config import GBDTConfig, RankerConfig
-            from otto_tpu.twostage import run_two_stage
+            from otto_tpu.twostage import predict_two_stage, run_two_stage
 
             cfg_cls = GBDTConfig if args.ranker == "gbdt" else RankerConfig
             rcfg = cfg_cls.from_yaml(args.config) if args.config else cfg_cls()
+            if labels is None:
+                # submission: train the two-stage on a truncated split of the
+                # train events (the reference trains its rankers on the
+                # labeled validation week, src/ranker/lgb_trainer.py:51-57),
+                # then score the target sessions with the trained artifacts
+                sp = splits.split_by_fraction(
+                    train, val_fraction=args.val_fraction, seed=args.seed
+                )
+                art = run_two_stage(sp.train, sp.val_input, args.n_aids,
+                                    labels=sp.val_labels, ranker_config=rcfg,
+                                    artifact_dir=args.artifact_dir)
+                preds = predict_two_stage(art, train, target, args.n_aids)
+                return BaselineResult(preds, None)
             art = run_two_stage(train, target, args.n_aids, labels=labels,
-                                ranker_config=rcfg)
+                                ranker_config=rcfg,
+                                artifact_dir=args.artifact_dir)
             return BaselineResult(art.predictions, art.report)
         runner = MODEL_RUNNERS[args.model]
         if args.model == "aid_weight":
@@ -265,9 +283,10 @@ def main(argv=None):
         result = dispatch(sp.train, sp.val_input, sp.val_labels)
         print(result.report)
     else:
-        result = dispatch(store, store, None)
+        target = _read(args.test_events) if args.test_events else store
+        result = dispatch(store, target, None)
         out = args.output or f"{args.model}_submission.csv.gz"
-        submission.write_submission(out, store.session_ids, result.predictions)
+        submission.write_submission(out, target.session_ids, result.predictions)
         print(f"wrote {out}")
     return result
 

@@ -187,3 +187,40 @@ def test_cli_two_stage_gbdt_engine(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "weighted recall@20" in r.stdout
+
+
+def test_cli_two_stage_submission_mode(tmp_path):
+    """two_stage submission: trains on a truncated split of --events, scores
+    the separate --test-events sessions, writes the gzip submission
+    (the reference's production path, src/ranker/inference.py:402-407)."""
+    import subprocess, sys, os
+
+    es = synthetic_events(n_sessions=300, n_aids=200, seed=38)
+    test_es = synthetic_events(n_sessions=80, n_aids=200, seed=39)
+    p = tmp_path / "train.parquet"
+    pt = tmp_path / "test.parquet"
+    es.to_parquet(p)
+    test_es.to_parquet(pt)
+    cfg = tmp_path / "gbdt.yaml"
+    cfg.write_text(
+        "n_trees: 6\nearly_stopping_rounds: 1000\nlearning_rate: 0.3\n"
+        "max_depth: 3\nn_bins: 32\nmin_data_in_leaf: 1\nmin_split_gain: 0.0\n"
+        "min_child_weight: 1.0e-6\nn_folds: 2\nchunk_sessions: 64\n"
+    )
+    out = tmp_path / "sub.csv.gz"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "otto_tpu.pipelines", "two_stage", "submission",
+         "--events", str(p), "--test-events", str(pt), "--n-aids", "200",
+         "--val-fraction", "0.3", "--ranker", "gbdt", "--config", str(cfg),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from otto_tpu.data.submission import read_submission
+
+    back = read_submission(out)
+    assert len(back["clicks"]) == 80
+    assert all(0 < len(v) <= 20 for v in back["orders"].values())
