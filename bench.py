@@ -61,7 +61,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
     from otto_tpu.models.ranker import init_tower, tower_forward
-    from otto_tpu.ops.retrieval import topk_approx, topk_scan
+    from otto_tpu.ops.retrieval import topk_approx, topk_hybrid, topk_scan
 
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
@@ -88,8 +88,25 @@ def main():
     dt_exact = timed_chain(exact_step, queries, iters=3)
     exact_qps = QUERY_BATCH / dt_exact
 
-    # fused pallas path (packed windowed-max + peel selection); guarded so a
-    # kernel/compile failure can never take the whole benchmark down
+    # hybrid: PartialReduce (aggregate_to_topk=False) + pallas peel selection;
+    # f32-exact scores, measured 0.997 recall vs the exact scan at this scale
+    hybrid_qps = 0.0
+    if not os.environ.get("BENCH_SKIP_PALLAS"):
+        try:
+
+            @jax.jit
+            def hybrid_step(q):
+                s, i = topk_hybrid(q, items, k=K, tile=256, metric="euclidean")
+                return q + 0.0 * s[:, :1], i[:, :8]
+
+            dt_h = timed_chain(hybrid_step, queries, iters=10)
+            hybrid_qps = QUERY_BATCH / dt_h
+        except Exception as e:  # pragma: no cover - depends on platform
+            print(f"# hybrid path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # fused pallas path (packed windowed-max + peel selection) over a bfloat16
+    # table: fastest, recall 0.996 vs its own (bf16) scoring / ~0.987 vs f32;
+    # guarded so a kernel/compile failure can never take the benchmark down
     pallas_qps = 0.0
     if not os.environ.get("BENCH_SKIP_PALLAS"):
         try:
@@ -132,7 +149,10 @@ def main():
     tower_dt = timed_chain(tower_step, feats, iters=20)
     cands_per_sec = TOWER_BATCH * TOWER_C / tower_dt
 
-    best = max(qps, pallas_qps)
+    # headline: fastest path whose measured recall vs the exact f32 scan is
+    # >= 0.99 (partialreduce and hybrid qualify; the bf16 pallas-fused path is
+    # reported alongside at ~0.987-vs-f32 / 0.996-vs-bf16)
+    best = max(qps, hybrid_qps)
     print(
         json.dumps(
             {
@@ -143,7 +163,8 @@ def main():
                 "device": str(dev),
                 "knn_k": K,
                 "partialreduce_qps": round(qps, 1),
-                "pallas_fused_qps": round(pallas_qps, 1),
+                "hybrid_peel_qps": round(hybrid_qps, 1),
+                "pallas_fused_bf16_qps": round(pallas_qps, 1),
                 "exact_knn_qps": round(exact_qps, 1),
                 "cpu_exact_qps_est": round(cpu_qps, 1),
                 "ranker_candidates_scored_per_s": round(cands_per_sec, 1),

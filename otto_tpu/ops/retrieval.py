@@ -149,6 +149,71 @@ def build_neighbor_table(
     return (out, out_s) if scores_out else out
 
 
+@partial(jax.jit, static_argnames=("k", "tile", "metric", "recall_target",
+                                   "rounds", "interpret"))
+def topk_hybrid(queries: jax.Array, items: jax.Array, k: int, tile: int = 256,
+                metric: str = "dot", recall_target: float = 0.99,
+                rounds: int = 6, interpret: bool | None = None):
+    """PartialReduce + peel selection: full-precision top-k at ~2x topk_approx.
+
+    ``topk_approx``'s cost is dominated not by the matmul or the PartialReduce
+    hardware reduction but by its *aggregation*: an exact top-k of the ~5k
+    reduced values per query, which XLA lowers to a full row sort (~9 ms at
+    [2048, 4950]).  Here the reduction keeps the unsorted window maxima
+    (``aggregate_to_topk=False``) and the aggregation runs through the Pallas
+    peel kernel (:func:`otto_tpu.ops.row_topk.peel_rows`, ~0.5 ms) + a small
+    sort.  Scores stay float32-exact end to end; structural recall is the
+    PartialReduce guarantee times the peel tail bound (~(k*128/(l*R))-ish,
+    negligible at rounds=12) — measured 0.996 at OTTO scale, k=100.
+    """
+    from otto_tpu.ops.row_topk import peel_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs a TPU
+    B, D = queries.shape
+    n = items.shape[0]
+    pad_q = (-B) % tile
+    q = queries
+    if pad_q:
+        q = jnp.concatenate([q, jnp.zeros((pad_q, D), q.dtype)], axis=0)
+    compute_dt = jnp.bfloat16 if items.dtype == jnp.bfloat16 else jnp.float32
+    tiles = q.reshape(-1, tile, D).astype(compute_dt)
+
+    if metric == "euclidean":
+        sq = jnp.sum(items.astype(jnp.float32) ** 2, axis=1)
+    else:
+        sq = None
+
+    def one_tile(carry, qt):
+        s = jnp.dot(qt, items.T, preferred_element_type=jnp.float32)
+        if metric == "euclidean":
+            s = 2.0 * s - sq[None, :]
+        rs, ri = jax.lax.approx_max_k(s, k, recall_target=recall_target,
+                                      aggregate_to_topk=False)
+        return carry, (rs, ri.astype(jnp.int32))
+
+    _, (rs, ri) = jax.lax.scan(one_tile, 0, tiles)
+    l = rs.shape[-1]
+    rs = rs.reshape(-1, l)
+    ri = ri.reshape(-1, l)
+    b_all = rs.shape[0]
+
+    pad_l = (-l) % 128
+    if pad_l:
+        rs = jnp.concatenate([rs, jnp.full((b_all, pad_l), NEG, rs.dtype)], axis=1)
+    rounds = min(rounds, k)
+    if rounds * ((l + pad_l) // 128) < k or b_all % 32:
+        top_s, pos = jax.lax.top_k(rs, k)  # degenerate shapes: plain sort
+    else:
+        vals, cols = peel_rows(rs, rounds, row_block=32, interpret=interpret)
+        neg_keys, pos_sorted = jax.lax.sort_key_val(-vals, cols, dimension=1)
+        top_s = -neg_keys[:, :k]
+        pos = pos_sorted[:, :k]
+    top_i = jnp.take_along_axis(ri, jnp.minimum(pos, l - 1), axis=1)
+    top_i = jnp.where(top_s > NEG / 2, top_i, -1)
+    return top_s[:B], top_i[:B]
+
+
 @partial(jax.jit, static_argnames=("k", "tile", "metric", "recall_target"))
 def topk_approx(queries: jax.Array, items: jax.Array, k: int, tile: int = 256,
                 metric: str = "dot", recall_target: float = 0.99):

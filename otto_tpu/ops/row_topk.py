@@ -35,24 +35,32 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 128
 
 
-def _peel_kernel(rounds, fill, w, in_ref, vals_ref, cols_ref):
+def _peel_kernel(rounds, fill, w, in_ref, vals_ref, cols_ref, scratch):
     rb, m = in_ref.shape
-    v = in_ref[:].reshape(rb, w, WINDOW)
-    base = jax.lax.broadcasted_iota(jnp.int32, (rb, w), 1) * WINDOW
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, w, WINDOW), 2)
-    for r in range(rounds):
+    scratch[:] = in_ref[:]
+
+    def round_body(r, _):
+        v = scratch[:].reshape(rb, w, WINDOW)
         mx = jnp.max(v, axis=2)
         eq = v == mx[:, :, None]
-        # manual first-match argmax (Mosaic's argmax lowering is f32-only)
-        am = jnp.min(jnp.where(eq, lane, WINDOW), axis=2)
-        vals_ref[:, r * w:(r + 1) * w] = mx
-        cols_ref[:, r * w:(r + 1) * w] = base + am
-        if r + 1 < rounds:
-            v = jnp.where(eq, jnp.asarray(fill, v.dtype), v)
+        # manual first-match argmax; the lane iota and min-reduce run in f32
+        # (Mosaic's argmax is f32-only and its int lane-reductions are ~9x
+        # slower than f32 ones), exact for lane values < 2^24
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (rb, w, WINDOW), 2
+        ).astype(jnp.float32)  # tpu.iota is int-only; convert for the f32 min
+        am = jnp.min(jnp.where(eq, lane, float(WINDOW)), axis=2).astype(jnp.int32)
+        base = jax.lax.broadcasted_iota(jnp.int32, (rb, w), 1) * WINDOW
+        vals_ref[:, r, :] = mx
+        cols_ref[:, r, :] = base + am
+        scratch[:] = jnp.where(eq, jnp.asarray(fill, v.dtype), v).reshape(rb, m)
+        return 0
+
+    jax.lax.fori_loop(0, rounds, round_body, 0)
 
 
 @partial(jax.jit, static_argnames=("rounds", "row_block", "interpret"))
-def peel_rows(x: jax.Array, rounds: int, row_block: int = 64,
+def peel_rows(x: jax.Array, rounds: int, row_block: int = 32,
               interpret: bool = False):
     """Pop the per-128-window max of each row, ``rounds`` times.
 
@@ -69,27 +77,29 @@ def peel_rows(x: jax.Array, rounds: int, row_block: int = 64,
     else:
         fill = int(jnp.iinfo(x.dtype).min)
 
-    return pl.pallas_call(
+    vals, cols = pl.pallas_call(
         partial(_peel_kernel, rounds, fill, w),
         grid=(b // row_block,),
         in_specs=[pl.BlockSpec((row_block, m), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((row_block, rounds * w), lambda i: (i, 0),
+            pl.BlockSpec((row_block, rounds, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_block, rounds * w), lambda i: (i, 0),
+            pl.BlockSpec((row_block, rounds, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, rounds * w), x.dtype),
-            jax.ShapeDtypeStruct((b, rounds * w), jnp.int32),
+            jax.ShapeDtypeStruct((b, rounds, w), x.dtype),
+            jax.ShapeDtypeStruct((b, rounds, w), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((row_block, m), x.dtype)],
         interpret=interpret,
     )(x)
+    return vals.reshape(b, rounds * w), cols.reshape(b, rounds * w)
 
 
 def row_topk(x: jax.Array, k: int, rounds: int | None = None,
-             row_block: int = 64, interpret: bool = False):
+             row_block: int = 32, interpret: bool = False):
     """Drop-in (approximate) replacement for ``jax.lax.top_k`` over rows.
 
     Returns (values [B, k], indices [B, k]) sorted descending.  With

@@ -72,8 +72,14 @@ def test_retriever_high_recall_and_exact_scores(metric):
 
     r = PallasRetriever(items, metric=metric, interpret=True,
                         table_dtype=jnp.float32)
-    s, i = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6)
+    s, i = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6,
+                  exact_scores=True)
     s, i = np.asarray(s), np.asarray(i)
+    # decoded (packed-key) scores agree with exact ones to the 7-lane-bit
+    # truncation of the shifted score
+    sd, idp = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6)
+    np.testing.assert_array_equal(np.sort(np.asarray(idp)), np.sort(i))
+    np.testing.assert_allclose(np.asarray(sd), s, atol=0.02)
 
     scores = queries @ items.T
     if metric == "euclidean":

@@ -91,3 +91,22 @@ def test_neighbor_table_pallas_backend_agrees():
                              block=128, backend="pallas")
     # tiny table -> pallas backend takes its exact dense path; rows must agree
     assert (a == b).mean() > 0.98
+
+
+def test_topk_hybrid_matches_exact_smallish():
+    import jax.numpy as jnp
+    from otto_tpu.ops.retrieval import topk_hybrid
+
+    rng = np.random.default_rng(11)
+    items = rng.normal(size=(65536, 16)).astype(np.float32)
+    q = rng.normal(size=(64, 16)).astype(np.float32)
+    s, i = topk_hybrid(jnp.asarray(q), jnp.asarray(items), k=5,
+                       tile=32, metric="euclidean")
+    sc = 2.0 * q @ items.T - np.sum(items**2, axis=1)[None, :]
+    exact = np.argsort(-sc, axis=1)[:, :5]
+    i = np.asarray(i)
+    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(i, exact))
+    assert hits / i.size >= 0.95
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(sc, i, axis=1), rtol=1e-5, atol=1e-4
+    )
