@@ -92,15 +92,17 @@ def build_neighbor_table(
     block: int = 16384,
     scores_out: bool = False,
     exact: bool = False,
-    backend: str = "approx",
+    backend: str = "hybrid",
 ):
     """All-items kNN table: for every aid, its top-k nearest aids.
 
     Replaces the reference's per-query ``annoy.get_nns_by_item`` with one
     batched sweep; returns int32 [N, k] (+ float32 scores when requested).
     ``exclude_self`` drops the query aid itself from its row (the reference
-    skips neighbor 0 — inference.py:167).  ``backend``: "approx" (TPU
-    PartialReduce), "pallas" (fused packed windowed-max kernel,
+    skips neighbor 0 — inference.py:167).  ``backend``: "hybrid" (default —
+    PartialReduce + pallas peel aggregation, f32 scores, fastest r>=0.99
+    path), "approx" (PartialReduce + XLA aggregation), "pallas" (fused
+    packed windowed-max kernel over a bf16 table,
     :mod:`otto_tpu.ops.pallas_retrieval`); ``exact=True`` overrides with the
     exact blocked scan.
     """
@@ -127,6 +129,9 @@ def build_neighbor_table(
             s, i = topk_scan(q, items, k=fetch, block=block, metric=metric)
         elif retriever is not None:
             s, i = retriever.topk(q, k=fetch)
+        elif backend == "hybrid":
+            s, i = topk_hybrid(q, items, k=fetch, metric=metric,
+                               tile=min(256, query_batch))
         else:
             s, i = topk_approx(q, items, k=fetch, metric=metric,
                                tile=min(256, query_batch))
