@@ -106,7 +106,8 @@ def build_covisitation(
         chunk_sessions = -(-chunk_sessions // dsize) * dsize
         sharded_fn = make_sharded_pair_reduce(mesh, n_aids)
 
-    for start in range(0, S, chunk_sessions):
+    def dispatch(start: int):
+        """Launch one chunk's device work; returns fetch handles only."""
         end = min(start + chunk_sessions, S)
         a = packed.aids[start:end]
         ty = packed.types[start:end]
@@ -128,20 +129,37 @@ def build_covisitation(
         )
         if sharded_fn is not None:
             sx, sy, totals, live = sharded_fn(*args, *tail)
+            return ("full", sx, sy, totals, live)
+        kx, ky, weights = pair_stream(*args, n_aids, *tail)
+        cs = len(a)
+        sx, sy, totals, live = sort_reduce_rows(
+            kx.reshape(cs, T * T), ky.reshape(cs, T * T),
+            weights.reshape(cs, T * T, -1),
+        )
+        # device-side compaction: fetch only ~live rows over the host link.
+        # The buffer size comes from a host-side upper bound on the live
+        # count (a session of packed length l emits at most l*(l-1) ordered
+        # pairs), rounded up a power-of-4 ladder — no device round-trip, so
+        # chunk dispatches stay pipelined, and only a handful of buffer
+        # shapes ever compile.
+        lens = mk.sum(axis=1).astype(np.int64)
+        bound = int(np.sum(lens * np.maximum(lens - 1, 0)))
+        cap = 1 << 16
+        while cap < bound and cap < int(sx.shape[0]):
+            cap *= 4
+        cap = min(cap, max(int(sx.shape[0]), 1 << 16))
+        sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)
+        return ("compact", sx_c, sy_c, totals_c, n_live, cap, (sx, sy, totals, live))
+
+    def drain(handle):
+        if handle[0] == "full":
+            _, sx, sy, totals, live = handle
             live_np = np.asarray(live)
             sx_np = np.asarray(sx)[live_np].astype(np.int64)
             sy_np = np.asarray(sy)[live_np].astype(np.int64)
             w_np = np.asarray(totals)[live_np]
         else:
-            kx, ky, weights = pair_stream(*args, n_aids, *tail)
-            cs = len(a)
-            sx, sy, totals, live = sort_reduce_rows(
-                kx.reshape(cs, T * T), ky.reshape(cs, T * T),
-                weights.reshape(cs, T * T, -1),
-            )
-            # device-side compaction: fetch only ~live rows over the host link
-            cap = max(int(sx.shape[0]) // 4, 1 << 16)
-            sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)
+            _, sx_c, sy_c, totals_c, n_live, cap, fallback = handle
             n = int(n_live)
             if n <= cap:
                 # fetch the fixed-cap buffers (device-side slicing to a
@@ -150,12 +168,26 @@ def build_covisitation(
                 sy_np = np.asarray(sy_c)[:n].astype(np.int64)
                 w_np = np.asarray(totals_c)[:n]
             else:  # overflow: fall back to the full fetch
+                sx, sy, totals, live = fallback
                 live_np = np.asarray(live)
                 sx_np = np.asarray(sx)[live_np].astype(np.int64)
                 sy_np = np.asarray(sy)[live_np].astype(np.int64)
                 w_np = np.asarray(totals)[live_np]
         keys_chunks.append(sx_np * n_aids + sy_np)
         weights_chunks.append(w_np)
+
+    # lookahead pipeline: keep a few chunks in flight so device compute and
+    # host-link fetches overlap instead of ping-ponging per chunk
+    from collections import deque
+
+    lookahead = 4
+    inflight: deque = deque()
+    for start in range(0, S, chunk_sessions):
+        inflight.append(dispatch(start))
+        if len(inflight) > lookahead:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
 
     if not keys_chunks:
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),
