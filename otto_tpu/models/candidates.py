@@ -213,9 +213,16 @@ def _regular_chunk(aids, types, lengths, tables_tuple, ft_table, uniq_cap, wide_
     return out
 
 
-def _chunked(packed, fn, S, chunk):
+def _chunked(packed, fn, S, chunk, lookahead: int = 4):
+    """Run ``fn`` over fixed-shape session chunks with a dispatch lookahead:
+    up to ``lookahead`` chunks stay in flight so device compute overlaps the
+    host-link result fetches (the fetch of chunk i otherwise serializes the
+    dispatch of chunk i+1 — a large loss when the link is slow)."""
+    from collections import deque
+
     outs = None
-    for start in range(0, S, chunk):
+
+    def dispatch(start):
         sel = np.arange(start, min(start + chunk, S))
         pad = chunk - len(sel)
         idx = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
@@ -229,11 +236,24 @@ def _chunked(packed, fn, S, chunk):
             jnp.asarray(mask),
             jnp.asarray(packed.lengths[idx]),
         )
+        return res, len(sel)
+
+    def drain(item):
+        nonlocal outs
+        res, n_sel = item
         if outs is None:
             outs = {k: ([], []) for k in res}
         for k, (c, s) in res.items():
-            outs[k][0].append(np.asarray(c)[: len(sel)])
-            outs[k][1].append(np.asarray(s)[: len(sel)])
+            outs[k][0].append(np.asarray(c)[:n_sel])
+            outs[k][1].append(np.asarray(s)[:n_sel])
+
+    inflight = deque()
+    for start in range(0, S, chunk):
+        inflight.append(dispatch(start))
+        if len(inflight) > lookahead:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
     return {k: (np.concatenate(cs), np.concatenate(ss)) for k, (cs, ss) in outs.items()}
 
 

@@ -421,7 +421,18 @@ def covisit_heuristic_predictions(
     # the cost of one extra compiled shape per op.
     widths = tuple(w for w in (32, packed.max_len) if w <= packed.max_len)
 
-    def run_route(route_fn, idx):
+    def run_route(route_fn, idx, lookahead: int = 4):
+        # dispatch lookahead: keep a few chunks in flight so device compute
+        # overlaps host-link fetches (same pattern as build_covisitation)
+        from collections import deque
+
+        inflight = deque()
+
+        def drain(item):
+            res, sel = item
+            for etype in EVENT_TYPES:
+                preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
+
         clens = np.minimum(store.lengths[idx], packed.max_len)
         lo = 0
         for width in widths:
@@ -439,8 +450,11 @@ def covisit_heuristic_predictions(
                                 if width < packed.max_len else packed.lengths[sel_p]),
                     cap,
                 )
-                for etype in EVENT_TYPES:
-                    preds[etype][sel] = np.asarray(res[etype])[: len(sel)]
+                inflight.append((res, sel))
+                if len(inflight) > lookahead:
+                    drain(inflight.popleft())
+        while inflight:
+            drain(inflight.popleft())
 
     cov_idx = np.flatnonzero(counts < 20)
     rec_idx = np.flatnonzero(counts >= 20)
