@@ -99,9 +99,7 @@ def _compact_two(values: jax.Array, scores: jax.Array):
     S, K = values.shape
     invalid = (values < 0).astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (S, K))
-    order = jnp.lexsort((pos, invalid), axis=-1)
-    v = jnp.take_along_axis(values, order, axis=1)
-    s = jnp.take_along_axis(scores, order, axis=1)
+    _, _, v, s = jax.lax.sort((invalid, pos, values, scores), dimension=1, num_keys=2)
     return v, jnp.where(v >= 0, s, 0.0)
 
 

@@ -224,10 +224,14 @@ def sort_reduce_rows(key_x: jax.Array, key_y: jax.Array, weights: jax.Array):
     re-reduces them.  Returns flattened (sx, sy, totals, live).
     """
     S, M = key_x.shape
-    order = jnp.lexsort((key_y, key_x), axis=-1)
-    sx = jnp.take_along_axis(key_x, order, axis=1)
-    sy = jnp.take_along_axis(key_y, order, axis=1)
-    sw = jnp.take_along_axis(weights, order[:, :, None], axis=1)
+    # variadic 2-key sort carrying the 7 weight columns as payloads — an
+    # argsort + take_along_axis gather here costs ~10x the sort itself
+    n_w = weights.shape[-1]
+    sx, sy, *sw_cols = jax.lax.sort(
+        (key_x, key_y) + tuple(weights[..., i] for i in range(n_w)),
+        dimension=1, num_keys=2,
+    )
+    sw = jnp.stack(sw_cols, axis=-1)
     same = (sx[:, 1:] == sx[:, :-1]) & (sy[:, 1:] == sy[:, :-1])
     head = jnp.concatenate([jnp.ones((S, 1), bool), ~same], axis=1)
     run_total = run_totals(sw, head[:, :, None], axis=1)

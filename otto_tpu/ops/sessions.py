@@ -59,12 +59,12 @@ def last_occurrence(aids: jax.Array, mask: jax.Array) -> jax.Array:
 def _rank_select(aids: jax.Array, score: jax.Array, tie_pos: jax.Array, k: int):
     """Top-k aids by (score desc, tie_pos asc). Returns ([S,k] aids padded -1,
     [S,k] scores padded NEG)."""
-    L = aids.shape[1]
-    # stable argsort on composite: sort ascending by (-score, tie_pos)
-    order = jnp.lexsort((tie_pos, -score), axis=-1)
-    top = order[:, :k]
-    picked = jnp.take_along_axis(aids, top, axis=1)
-    picked_score = jnp.take_along_axis(score, top, axis=1)
+    # variadic sort ascending by (-score, tie_pos), carrying aids and scores
+    # as payloads (argsort + take_along_axis lane-gathers are ~40x slower)
+    _, _, picked, picked_score = jax.lax.sort(
+        (-score, tie_pos, aids, score), dimension=1, num_keys=2
+    )
+    picked, picked_score = picked[:, :k], picked_score[:, :k]
     picked = jnp.where(picked_score > NEG / 2, picked, -1)
     return picked.astype(jnp.int32), picked_score
 
