@@ -44,19 +44,37 @@ def sharded_lookup(mesh: Mesh, table, indices, model_axis: str = "model"):
     )(table, indices)
 
 
+# shard-row threshold above which the local reduction routes through the
+# PartialReduce+peel hybrid instead of a dense [B, N_local] sort (tests lower
+# this to exercise the hybrid path on small fixtures)
+HYBRID_MIN_SHARD_ROWS = 1 << 16
+
+
 def sharded_topk(mesh: Mesh, queries, items, k: int, model_axis: str = "model",
                  metric: str = "dot"):
-    """Distributed exact top-k: local top-k per item shard, all_gather the
+    """Distributed top-k: local top-k per item shard, all_gather the
     k-candidates, re-top-k.  queries [B, D] replicated; items [N_padded, D]
-    row-sharded.  Returns (scores [B, k], global indices [B, k])."""
+    row-sharded.  Returns (scores [B, k], global indices [B, k]).
+
+    Large shards run the local reduction through
+    :func:`otto_tpu.ops.retrieval.topk_hybrid` (PartialReduce + pallas peel)
+    instead of materializing the [B, N_local] score matrix and full-sorting
+    it with ``lax.top_k``."""
 
     def local(q, item_shard):
         m = jax.lax.axis_index(model_axis)
         rows_per = item_shard.shape[0]
-        s = jnp.dot(q, item_shard.T, preferred_element_type=jnp.float32)
-        if metric == "euclidean":
-            s = 2.0 * s - jnp.sum(item_shard.astype(jnp.float32) ** 2, axis=1)[None, :]
-        loc_s, loc_i = jax.lax.top_k(s, k)
+        if rows_per >= HYBRID_MIN_SHARD_ROWS:
+            from otto_tpu.ops.retrieval import topk_hybrid
+
+            loc_s, loc_i = topk_hybrid(q, item_shard, k=k, metric=metric,
+                                       tile=min(256, q.shape[0]))
+            loc_i = jnp.maximum(loc_i, 0)  # dead slots carry NEG scores
+        else:
+            s = jnp.dot(q, item_shard.T, preferred_element_type=jnp.float32)
+            if metric == "euclidean":
+                s = 2.0 * s - jnp.sum(item_shard.astype(jnp.float32) ** 2, axis=1)[None, :]
+            loc_s, loc_i = jax.lax.top_k(s, k)
         glob_i = loc_i + m * rows_per
         all_s = jax.lax.all_gather(loc_s, model_axis, axis=1)  # [B, n_shards, k]
         all_i = jax.lax.all_gather(glob_i, model_axis, axis=1)

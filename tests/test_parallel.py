@@ -189,3 +189,31 @@ def test_ranker_mesh_predict_matches_single_device():
     mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
     parallel = model.predict(feats, mask, batch=16, mesh=mesh)
     np.testing.assert_allclose(single, parallel, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_topk_hybrid_local_path(monkeypatch):
+    """Force the hybrid local reduction on small shards and check it agrees
+    with the dense path / brute force."""
+    import jax.numpy as jnp
+
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.parallel import sharded_embedding as se
+    from otto_tpu.parallel.mesh import make_mesh, shard_rows
+
+    monkeypatch.setattr(se, "HYBRID_MIN_SHARD_ROWS", 1)
+
+    rng = np.random.default_rng(4)
+    n_dev = min(4, len(jax.devices()))
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev),
+                     devices=jax.devices()[:n_dev])
+    N, D = 2048 * n_dev, 16
+    items = rng.normal(size=(N, D)).astype(np.float32)
+    q = rng.normal(size=(8, D)).astype(np.float32)
+    tbl = shard_rows(mesh, items)
+    s, i = se.sharded_topk(mesh, jnp.asarray(q), tbl, k=5, metric="dot")
+    s, i = np.asarray(s), np.asarray(i)
+    exact = np.argsort(-(q @ items.T), axis=1)[:, :5]
+    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(i, exact))
+    assert hits / i.size >= 0.9
+    np.testing.assert_allclose(s, np.take_along_axis(q @ items.T, i, axis=1),
+                               rtol=1e-5, atol=1e-5)
