@@ -10,10 +10,10 @@ on-device pipeline over the packed event arrays:
    ordered within-session pair (i != j) inside the kind's time window as an
    ``(aid_x, aid_y)`` int32 key pair with one weight column per kind (invalid
    pairs get a sentinel key).  Pure VPU compare/select math on static shapes.
-2. :func:`sort_reduce` — lexsort the key stream with its weight payloads and
-   run-length-sum duplicate keys (XLA's on-device sort; a segment-sum over the
-   sorted runs).  Keys stay as int32 pairs — TPUs have no native int64 and
-   x64 mode is off.
+2. :func:`sort_reduce_rows` — per-session-row 2-key sort of the pair stream
+   (weights ride through as sort payloads) and run-length-sum of duplicate
+   keys via segmented scans.  Keys stay as int32 pairs — TPUs have no native
+   int64 and x64 mode is off.
 3. chunks are merged across the session axis by the host-side accumulator in
    :mod:`otto_tpu.models.covisitation`, and the final per-``aid_x`` top-k rows
    are extracted with :func:`topk_per_source`.
@@ -101,26 +101,6 @@ def pair_stream(
     kx = jnp.where(any_w, jnp.broadcast_to(ax, (S, T, T)), jnp.int32(n_aids))
     ky = jnp.where(any_w, jnp.broadcast_to(ay, (S, T, T)), jnp.int32(0))
     return kx.reshape(-1), ky.reshape(-1), w.reshape(-1, len(COVISIT_KINDS))
-
-
-@jax.jit
-def sort_reduce(key_x: jax.Array, key_y: jax.Array, weights: jax.Array):
-    """Lexsort (key_x, key_y) with weight payloads and sum over equal-key runs.
-
-    Returns (sx, sy int32 [P], run_totals float32 [P, 7], head bool [P]); live
-    aggregated entries are rows with ``head`` set (sentinel rows excluded).
-    """
-    order = jnp.lexsort((key_y, key_x))
-    sx = key_x[order]
-    sy = key_y[order]
-    sw = weights[order]
-    same = (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1])
-    head = jnp.concatenate([jnp.ones((1,), bool), ~same])
-    run_total = run_totals(sw, head[:, None], axis=0)
-    # sentinel rows carry zero weight in every kind, so the weight test alone
-    # filters them
-    live = head & jnp.any(run_total > 0, axis=1)
-    return sx, sy, run_total, live
 
 
 def topk_per_source(
