@@ -107,6 +107,7 @@ class SGNSConfig(ConfigBase):
     ns_exponent: float = 0.75
     subsample_t: float = 1e-4  # frequent-aid downsampling threshold (fastText `t`)
     batch_centers: int = 8192  # center positions per optimizer step
+    steps_per_call: int = 8  # optimizer steps scanned per device dispatch
     seed: int = 42
     table_dtype: str = "float32"
 
@@ -240,7 +241,17 @@ class GBDTConfig(ConfigBase):
     negative_sampling_ratio: float = 0.30
     seed: int = 42
     chunk_sessions: int = 1024  # lambdarank gradient lax.map chunk
-    hist_rows_per_chunk: int = 1 << 18  # histogram scatter streaming chunk
+    hist_rows_per_chunk: int = 1 << 18  # histogram streaming chunk
+    # 'matmul': factored one-hot MXU histograms with sibling subtraction
+    # (8.5x the scatter path on a v5e at level-6 shapes); 'scatter': the
+    # naive XLA scatter-add (kept as a numerical oracle)
+    hist_impl: str = "matmul"
+    # >1 scans that many whole trees per device dispatch (one host round-trip
+    # per segment).  Growth is HBM/MXU-bound, so this only pays off when
+    # per-dispatch latency rivals per-tree compute (small datasets or a
+    # remote-attached device) — and it multiplies XLA compile time by the
+    # segment length.  ES metric cadence follows the segment when > 1.
+    trees_per_call: int = 1
 
 
 @dataclass(frozen=True)

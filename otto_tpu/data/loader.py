@@ -65,8 +65,10 @@ class BatchLoader:
             n = len(self._order)
             for i in range(self._n_batches):
                 sel = self._order[i * B : (i + 1) * B]
-                if len(sel) < B:  # wrap to keep shapes static (one compile)
-                    sel = np.concatenate([sel, self._order[: B - len(sel)]])
+                if len(sel) < B:  # wrap to keep shapes static (one compile);
+                    # tile as often as needed when B exceeds the epoch size
+                    reps = -(-(B - len(sel)) // max(n, 1))
+                    sel = np.concatenate([sel] + [self._order] * reps)[:B]
                 batch = tuple(self._put(a[sel]) for a in self._arrays)
                 while not self._stop.is_set():
                     try:

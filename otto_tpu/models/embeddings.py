@@ -83,9 +83,8 @@ def skipgram_pairs(
     return c[drop_same], x[drop_same]
 
 
-@partial(jax.jit, static_argnames=("n_negatives",), donate_argnums=(0, 1, 2, 3))
-def _sgns_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf, lr, key,
-               n_negatives: int):
+def _sgns_step_impl(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf, lr, key,
+                    n_negatives: int):
     """One SGNS step with sparse per-coordinate adagrad.
 
     Gradients are closed-form over the gathered rows and applied with
@@ -129,6 +128,38 @@ def _sgns_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf, lr, key
         -lr * g_out_rows * jax.lax.rsqrt(acc_out[out_idx] + 1e-10)
     )
     return w_in, w_out, acc_in, acc_out, loss / B
+
+
+_sgns_step = jax.jit(_sgns_step_impl, static_argnames=("n_negatives",),
+                     donate_argnums=(0, 1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("n_negatives",), donate_argnums=(0, 1, 2, 3))
+def _sgns_multi_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf,
+                     lrs, key, n_negatives: int):
+    """``lax.scan`` of G sequential SGNS steps in ONE device program.
+
+    centers/contexts: int32 [G, B]; lrs: float32 [G].  The per-step math is
+    identical to :func:`_sgns_step`; batching G steps per dispatch amortizes
+    per-program dispatch latency (the dominant cost of small sparse steps on
+    a remote-attached device, and still a win on local chips) and ships the
+    G batches as one host->device transfer.  Returns the mean loss over the
+    G steps.
+    """
+
+    def body(carry, inp):
+        w_in, w_out, acc_in, acc_out, key = carry
+        bc, bx, lr = inp
+        key, sub = jax.random.split(key)
+        w_in, w_out, acc_in, acc_out, loss = _sgns_step_impl(
+            w_in, w_out, acc_in, acc_out, bc, bx, neg_cdf, lr, sub, n_negatives
+        )
+        return (w_in, w_out, acc_in, acc_out, key), loss
+
+    (w_in, w_out, acc_in, acc_out, key), losses = jax.lax.scan(
+        body, (w_in, w_out, acc_in, acc_out, key), (centers, contexts, lrs)
+    )
+    return w_in, w_out, acc_in, acc_out, key, jnp.mean(losses)
 
 
 @dataclass
@@ -202,7 +233,12 @@ def train_sgns(
     # pre-generate one epoch of pairs to size the lr schedule
     total_steps = None
     B = config.batch_centers
+    G = max(config.steps_per_call, 1)
     step = 0
+
+    def epoch_groups(n_pairs: int) -> int:
+        return -(-max(n_pairs // B, 1) // G)
+
     if start_epoch:
         # replay the host RNG so pair sampling continues deterministically,
         # and advance the lr-schedule step counter
@@ -210,46 +246,42 @@ def train_sgns(
             c, _x = skipgram_pairs(store, config.window, rng,
                                    subsample_t=config.subsample_t, counts=counts)
             rng.permutation(len(c))
-            nb = max(len(c) // B, 1)
+            ng = epoch_groups(len(c))
             if total_steps is None:
-                total_steps = nb * config.epochs
-            step += nb
+                total_steps = ng * G * config.epochs
+            step += ng * G
+    min_ratio = config.min_learning_rate / config.learning_rate
     for epoch in range(start_epoch, config.epochs):
         c, x = skipgram_pairs(
             store, config.window, rng, subsample_t=config.subsample_t, counts=counts
         )
         perm = rng.permutation(len(c))
-        n_batches = max(len(c) // B, 1)
+        n_groups = epoch_groups(len(c))
         if total_steps is None:
-            total_steps = n_batches * config.epochs
+            total_steps = n_groups * G * config.epochs
         losses = []
-        # prefetching loader (data/loader.py): batch transfer overlaps the
-        # previous step; short tails wrap to keep one compiled step shape
+        # prefetching loader (data/loader.py) ships G optimizer batches per
+        # dispatch; _sgns_multi_step scans the G steps in one device program
+        # (short tails wrap so every group has one compiled shape)
         from otto_tpu.data.loader import BatchLoader
 
-        for i, (bc, bx) in enumerate(BatchLoader((c, x), B, order=perm)):
-            lr = config.learning_rate * max(
-                1.0 - step / max(total_steps, 1), config.min_learning_rate / config.learning_rate
+        loader = BatchLoader((c, x), G * B, order=perm, drop_remainder=False)
+        for i, (gc, gx) in enumerate(loader):
+            lrs = config.learning_rate * np.maximum(
+                1.0 - (step + np.arange(G)) / max(total_steps, 1), min_ratio
+            ).astype(np.float32)
+            w_in, w_out, acc_in, acc_out, key, loss = _sgns_multi_step(
+                w_in, w_out, acc_in, acc_out,
+                gc.reshape(G, B), gx.reshape(G, B),
+                neg_cdf, jnp.asarray(lrs), key, config.negatives,
             )
-            key, sub = jax.random.split(key)
-            w_in, w_out, acc_in, acc_out, loss = _sgns_step(
-                w_in,
-                w_out,
-                acc_in,
-                acc_out,
-                bc,
-                bx,
-                neg_cdf,
-                jnp.float32(lr),
-                sub,
-                config.negatives,
-            )
-            step += 1
-            if (i + 1) % log_every == 0 or i == n_batches - 1:
-                losses.append(float(loss))
+            step += G
+            if (i + 1) % max(log_every // G, 1) == 0 or i == n_groups - 1:
+                losses.append(loss)  # device scalar; forced at epoch end
         log.info(
             "sgns epoch %d/%d: %d pairs, loss %.4f",
-            epoch + 1, config.epochs, len(c), float(np.mean(losses)) if losses else float("nan"),
+            epoch + 1, config.epochs, len(c),
+            float(np.mean([float(l) for l in losses])) if losses else float("nan"),
         )
         if mgr is not None:
             mgr.save(epoch + 1, {

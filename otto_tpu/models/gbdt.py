@@ -92,6 +92,74 @@ def bin_features(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- grow
+def _split_bf16_pair(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == a to ~2^-24.
+
+    ``hi`` truncates the low 16 mantissa bits by integer masking — NOT via
+    ``a - bf16(a).astype(f32)``, which XLA's allow-excess-precision pass
+    simplifies to zero on TPU (measured: the naive form silently degrades to
+    single bf16).  The masked ``hi`` is exactly representable in bf16 and
+    ``lo = a - hi`` is exact in f32.
+    """
+    bits = lax.bitcast_convert_type(a, jnp.int32)
+    hi = lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return hi.astype(jnp.bfloat16), (a - hi).astype(jnp.bfloat16)
+
+
+def _mm_hist(binned, key, vals, n_keys: int, n_bins: int, chunk: int):
+    """Histogram as a factored one-hot matmul (MXU) instead of scatter-add.
+
+    hist[k, f, b, c] = sum_r [key[r] == k] * [binned[r, f] == b] * vals[r, c]
+    computed as ``A^T @ B`` with A[r, k*3+c] = onehot_key * vals (f32, split
+    into a bf16 hi+lo pair) and B[r, f*n_bins+b] = onehot_bin (exact in
+    bf16).  Both matmul dimensions are wide (3*n_keys x F*n_bins), so the
+    MXU runs near peak — measured 8.5x over the XLA scatter-add at level-6
+    shapes (64 nodes, 52 features, 256 bins, 100k rows) on a v5e.  Rows
+    stream in ``chunk`` blocks through a ``lax.scan`` so the one-hot B tile
+    never exceeds chunk * F * n_bins.
+
+    binned: uint8 [N, F]; key: int32 [N] in [0, n_keys); vals: f32 [N, 3]
+    (padding rows must carry zero vals).  Returns f32 [n_keys, F, n_bins, 3].
+    """
+    N, F = binned.shape
+    iota_k = jnp.arange(n_keys, dtype=jnp.int32)
+    iota_b = jnp.arange(n_bins, dtype=jnp.int32)
+
+    def block(b_c, k_c, v_c):
+        rows = b_c.shape[0]
+        on = (k_c[:, None] == iota_k[None, :]).astype(jnp.float32)  # [C, K]
+        a = (on[:, :, None] * v_c[:, None, :]).reshape(rows, n_keys * 3)
+        hi, lo = _split_bf16_pair(a)
+        b1h = (b_c[:, :, None] == iota_b[None, None, :]).astype(jnp.bfloat16)
+        b1h = b1h.reshape(rows, F * n_bins)
+        h = jnp.dot(hi.T, b1h, preferred_element_type=jnp.float32)
+        h = h + jnp.dot(lo.T, b1h, preferred_element_type=jnp.float32)
+        return h
+
+    if N <= chunk:
+        out = block(binned, key, vals)
+    else:
+        n_chunks = -(-N // chunk)
+        pad = n_chunks * chunk - N
+        b_p = jnp.pad(binned, ((0, pad), (0, 0)))
+        k_p = jnp.pad(key, (0, pad))
+        v_p = jnp.pad(vals, ((0, pad), (0, 0)))  # zero vals: no contribution
+
+        def body(acc, ch):
+            return acc + block(*ch), None
+
+        out, _ = lax.scan(
+            body,
+            jnp.zeros((n_keys * 3, F * n_bins), jnp.float32),
+            (
+                b_p.reshape(n_chunks, chunk, F),
+                k_p.reshape(n_chunks, chunk),
+                v_p.reshape(n_chunks, chunk, 3),
+            ),
+        )
+    return out.reshape(n_keys, 3, F, n_bins).transpose(0, 2, 3, 1)
+
+
 def _grow_tree_impl(
     binned,  # uint8 [N, F]
     grad,  # f32 [N]
@@ -109,6 +177,7 @@ def _grow_tree_impl(
     n_bins: int,
     hist_chunk: int,
     axis_name: str | None = None,
+    hist_impl: str = "matmul",
 ):
     """Grow one depth-``depth`` tree level-wise.  Returns level-order-
     concatenated split features/thresholds/gains (``2^depth - 1`` internal
@@ -131,41 +200,71 @@ def _grow_tree_impl(
     col_off = (jnp.arange(F, dtype=jnp.int32) * n_bins)[None, :]
     feats, thrs, gains = [], [], []
 
+    parent_hist = None
     for level in range(depth):
         n_nodes = 1 << level
-        size = n_nodes * F * n_bins
 
-        def hist_block(b_c, n_c, v_c):
-            idx = n_c[:, None] * (F * n_bins) + col_off + b_c.astype(jnp.int32)
-            v3 = jnp.broadcast_to(v_c[:, None, :], (*idx.shape, 3))
-            return jnp.zeros((size, 3), jnp.float32).at[idx].add(v3)
+        if hist_impl == "matmul":
+            # Factored one-hot matmul (MXU) + LightGBM's sibling subtraction:
+            # build only the LEFT child's histogram from rows routed left;
+            # the right sibling is parent - left (empty right children of
+            # unsplit nodes come out exactly zero).  Halves the matmul work
+            # and keeps every level's histogram on the MXU.
+            # cap the streaming chunk so the one-hot B tile (chunk * F *
+            # n_bins bf16) stays a few hundred MB
+            mm_chunk = min(hist_chunk, 1 << 14)
+            if level == 0:
+                hist = _mm_hist(binned, jnp.zeros_like(node), vals, 1,
+                                n_bins, mm_chunk)
+                if axis_name is not None:
+                    hist = lax.psum(hist, axis_name)
+            else:
+                parent = node >> 1
+                went_left = (node & 1) == 0
+                left = _mm_hist(binned, parent,
+                                vals * went_left[:, None].astype(jnp.float32),
+                                n_nodes // 2, n_bins, mm_chunk)
+                if axis_name is not None:
+                    left = lax.psum(left, axis_name)
+                right = parent_hist - left
+                hist = jnp.stack([left, right], axis=1).reshape(
+                    n_nodes, F, n_bins, 3
+                )
+        else:  # "scatter" — the naive XLA scatter-add path (kept as oracle)
+            size = n_nodes * F * n_bins
 
-        if N <= hist_chunk:
-            hist = hist_block(binned, node, vals)
-        else:
-            n_chunks = -(-N // hist_chunk)
-            pad = n_chunks * hist_chunk - N
-            b_p = jnp.pad(binned, ((0, pad), (0, 0)))
-            n_p = jnp.pad(node, (0, pad))
-            v_p = jnp.pad(vals, ((0, pad), (0, 0)))  # zero grad/hess/weight
+            def hist_block(b_c, n_c, v_c):
+                idx = n_c[:, None] * (F * n_bins) + col_off + b_c.astype(jnp.int32)
+                v3 = jnp.broadcast_to(v_c[:, None, :], (*idx.shape, 3))
+                return jnp.zeros((size, 3), jnp.float32).at[idx].add(v3)
 
-            def body(acc, chunk):
-                b_c, n_c, v_c = chunk
-                return acc + hist_block(b_c, n_c, v_c), None
+            if N <= hist_chunk:
+                hist = hist_block(binned, node, vals)
+            else:
+                n_chunks = -(-N // hist_chunk)
+                pad = n_chunks * hist_chunk - N
+                b_p = jnp.pad(binned, ((0, pad), (0, 0)))
+                n_p = jnp.pad(node, (0, pad))
+                v_p = jnp.pad(vals, ((0, pad), (0, 0)))  # zero grad/hess/weight
 
-            hist, _ = lax.scan(
-                body,
-                jnp.zeros((size, 3), jnp.float32),
-                (
-                    b_p.reshape(n_chunks, hist_chunk, F),
-                    n_p.reshape(n_chunks, hist_chunk),
-                    v_p.reshape(n_chunks, hist_chunk, 3),
-                ),
-            )
+                def body(acc, chunk):
+                    b_c, n_c, v_c = chunk
+                    return acc + hist_block(b_c, n_c, v_c), None
 
-        if axis_name is not None:
-            hist = lax.psum(hist, axis_name)
-        hist = hist.reshape(n_nodes, F, n_bins, 3)
+                hist, _ = lax.scan(
+                    body,
+                    jnp.zeros((size, 3), jnp.float32),
+                    (
+                        b_p.reshape(n_chunks, hist_chunk, F),
+                        n_p.reshape(n_chunks, hist_chunk),
+                        v_p.reshape(n_chunks, hist_chunk, 3),
+                    ),
+                )
+
+            if axis_name is not None:
+                hist = lax.psum(hist, axis_name)
+            hist = hist.reshape(n_nodes, F, n_bins, 3)
+        parent_hist = hist
         cg = jnp.cumsum(hist[..., 0], axis=-1)
         ch = jnp.cumsum(hist[..., 1], axis=-1)
         cc = jnp.cumsum(hist[..., 2], axis=-1)
@@ -213,7 +312,8 @@ def _grow_tree_impl(
 
 
 _grow_tree = jax.jit(
-    _grow_tree_impl, static_argnames=("depth", "n_bins", "hist_chunk", "axis_name")
+    _grow_tree_impl,
+    static_argnames=("depth", "n_bins", "hist_chunk", "axis_name", "hist_impl"),
 )
 
 
@@ -376,12 +476,13 @@ def fit_gbdt(
         grow = make_dp_gbdt_grow(
             mesh, depth=config.max_depth, n_bins=config.n_bins,
             hist_chunk=config.hist_rows_per_chunk, data_axis=data_axis,
+            hist_impl=config.hist_impl,
         )
     else:
         put = jnp.asarray
         grow = partial(
             _grow_tree, depth=config.max_depth, n_bins=config.n_bins,
-            hist_chunk=config.hist_rows_per_chunk,
+            hist_chunk=config.hist_rows_per_chunk, hist_impl=config.hist_impl,
         )
     N = S * C
     flat = put(binned.reshape(N, F))
@@ -417,6 +518,98 @@ def fit_gbdt(
     feats_l, thrs_l, leaves_l = [], [], []
     best_metric, best_iter, since_best = -np.inf, 0, 0
     chunk = min(config.chunk_sessions, max(S, 1))
+
+    if mesh is None and config.trees_per_call > 1:
+        # ---- segmented path: scan trees_per_call whole trees per dispatch.
+        # One host round-trip per SEGMENT (gradient pass, bagging, growth,
+        # pred/val updates and the ES metric all stay on device).  Growth is
+        # compute-bound at real data sizes, so this is off by default — it
+        # pays only when dispatch latency rivals per-tree compute, and it
+        # multiplies compile time by the segment length.
+        n_take = max(int(round(config.colsample * F)), 1)
+
+        def one_tree(carry, _):
+            pred, val_pred, key = carry
+            if config.loss == "lambdarank":
+                g, h = _lambdarank_gh(pred, lab_d, keep_mask,
+                                      k=config.lambdarank_k, chunk=chunk)
+            else:
+                g, h = _bce_gh(pred, lab_d, keep_mask)
+            g = g.reshape(N) * w_flat
+            h = h.reshape(N) * w_flat
+            key, bkey, ckey = jax.random.split(key, 3)
+            if config.subsample < 1.0:
+                bag = (jax.random.uniform(bkey, (N,)) < config.subsample).astype(jnp.float32)
+            else:
+                bag = jnp.ones(N, jnp.float32)
+            if config.colsample < 1.0:
+                cols = jax.random.permutation(ckey, F)[:n_take]
+                fm = jnp.zeros(F, bool).at[cols].set(True)
+            else:
+                fm = jnp.ones(F, bool)
+            feat, thr, leaf, gains, leaf_idx = _grow_tree_impl(
+                flat, g, h, w_flat, bag, fm,
+                jnp.float32(config.reg_lambda), jnp.float32(config.min_split_gain),
+                jnp.float32(config.min_data_in_leaf), jnp.float32(config.min_child_weight),
+                jnp.float32(config.learning_rate),
+                depth=depth, n_bins=n_bins, hist_chunk=config.hist_rows_per_chunk,
+                hist_impl=config.hist_impl,
+            )
+            pred = pred + leaf[leaf_idx].reshape(S, C)
+            if val is not None:
+                vpos = _route_tree(vflat, feat, thr, depth=depth)
+                val_pred = val_pred + leaf[vpos]
+            return (pred, val_pred, key), (feat, thr, leaf, gains)
+
+        @partial(jax.jit, static_argnames=("n_seg",), donate_argnums=(0, 1, 2))
+        def boost_segment(pred, val_pred, key, n_seg: int):
+            (pred, val_pred, key), trees = lax.scan(
+                one_tree, (pred, val_pred, key), None, length=n_seg
+            )
+            if val is not None:
+                vs = jnp.where(vm_d, val_pred.reshape(Sv, Cv), -jnp.inf)
+                metric = map_at_k(vs, vl_d, vm_d, k=20)
+            else:
+                metric = jnp.float32(0.0)
+            return pred, val_pred, key, trees, metric
+
+        if val is None:
+            val_pred = jnp.zeros((), jnp.float32)  # placeholder carry
+        t = 0
+        while t < config.n_trees:
+            seg = min(config.trees_per_call, config.n_trees - t)
+            pred, val_pred, key, (feat, thr, leaf, gains), metric = boost_segment(
+                pred, val_pred, key, n_seg=seg
+            )
+            t += seg
+            feat_h, gains_h = np.asarray(feat), np.asarray(gains)  # [seg, nodes]
+            is_split = gains_h > 0
+            np.add.at(gain_imp, feat_h[is_split], gains_h[is_split])
+            np.add.at(split_imp, feat_h[is_split], 1)
+            feats_l.extend(feat_h)
+            thrs_l.extend(np.asarray(thr))
+            leaves_l.extend(np.asarray(leaf))
+            if val is not None:
+                m = float(metric)
+                if m > best_metric + 1e-9:
+                    best_metric, best_iter, since_best = m, t, 0
+                else:
+                    since_best += seg
+                if since_best >= config.early_stopping_rounds:
+                    log.info("early stop at tree %d (best %d, MAP@20 %.6f)",
+                             t, best_iter, best_metric)
+                    break
+        n_keep = best_iter if (val is not None and best_iter > 0) else len(feats_l)
+        return GBDTForest(
+            feat=np.stack(feats_l[:n_keep]).astype(np.int32),
+            thr=np.stack(thrs_l[:n_keep]).astype(np.int32),
+            leaf=np.stack(leaves_l[:n_keep]).astype(np.float32),
+            base=base,
+            depth=depth,
+            gain_importance=gain_imp,
+            split_importance=split_imp,
+            best_iteration=n_keep,
+        )
 
     for t in range(config.n_trees):
         if config.loss == "lambdarank":

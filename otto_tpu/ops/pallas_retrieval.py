@@ -116,7 +116,8 @@ class PallasRetriever:
     """
 
     def __init__(self, items, metric: str = "dot", block: int = 16384,
-                 table_dtype=jnp.bfloat16, interpret: bool = False):
+                 table_dtype=jnp.bfloat16, rescore_dtype=jnp.float32,
+                 interpret: bool = False):
         if block % (WINDOW * WINDOW):
             raise ValueError("block must be a multiple of 128*128")
         items = jnp.asarray(items)
@@ -129,7 +130,10 @@ class PallasRetriever:
         itf = items.astype(jnp.float32)
         sq = jnp.sum(itf * itf, axis=1)
         self.max_sq = float(jnp.max(sq))
-        self.items = items.astype(table_dtype)  # [N, D] for exact rescoring
+        # [N, D] kept for rescoring (f32 by default: survivor rescoring then
+        # removes the bf16 scoring error of the fused kernel; costs N*D*4
+        # bytes of HBM on top of the bf16 compute table)
+        self.items = items.astype(rescore_dtype)
         self.sq = sq  # [N] float32
         # augmented transposed table [D+2, N_pad]: rows [x; -||x||^2; 1]
         aug = jnp.concatenate(
@@ -139,79 +143,115 @@ class PallasRetriever:
             aug.astype(table_dtype).T, ((0, 0), (0, n_pad))
         )
 
-    def _augment_queries(self, q):
-        """[B, D] -> [B, D+2] = [aq, 1, C]; C a power of two making every
-        real score positive (>= 1) in both metrics."""
-        qf = q.astype(jnp.float32)
-        qsq_max = jnp.max(jnp.sum(qf * qf, axis=1))
-        bound = 2.0 + qsq_max + 2.0 * self.max_sq
-        c = jnp.exp2(jnp.ceil(jnp.log2(bound)))  # bf16-exact shift
-        # score = a*(q.x) - u*||x||^2 + c against item column [x, -||x||^2, 1]
-        a, u = (2.0, 1.0) if self.metric == "euclidean" else (1.0, 0.0)
-        b = q.shape[0]
-        return jnp.concatenate(
-            [a * qf, jnp.full((b, 1), u, jnp.float32),
-             jnp.broadcast_to(c, (b, 1))], axis=1
-        ), c
-
-    def _rescore(self, q, idx):
-        """Exact scores of items ``idx`` [B, k] under the metric."""
-        gathered = self.items[idx].astype(jnp.float32)  # [B, k, D]
-        s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), gathered)
-        if self.metric == "euclidean":
-            s = 2.0 * s - self.sq[idx]
-        return s
-
     def topk(self, queries, k: int, tile: int = 128, rounds: int = 6,
-             exact_scores: bool = False):
+             exact_scores: bool = False, rescore_survivors: bool = False):
         """queries [B, D] -> (scores [B, k], indices [B, k]), descending.
 
         Scores decode from the packed keys (relative error <= 2^-17 of the
         shifted score — the 7 lane bits); ``exact_scores=True`` re-gathers the
         winning items and rescores them exactly (costs a [B, k, D] gather).
+        ``rescore_survivors=True`` instead rescores ALL stage-2 survivors
+        (rounds * N/16384 per row) in ``rescore_dtype`` before the final
+        top-k: the bf16 kernel then only *selects* the survivor pool, and the
+        k winners are chosen by exact f32 scores — removing the bf16 scoring
+        error everywhere except stage-1 window-max elimination.
+
+        The whole search is ONE jitted program with the tables passed as
+        arguments — callers must NOT wrap it in an outer ``jax.jit`` whose
+        closure captures the retriever (closure-captured tables lower as
+        program constants: hundreds of MB in the compile payload).
         """
         queries = jnp.asarray(queries)
-        b, d = queries.shape
         n_pad = self.items_aug_t.shape[1]
         n_cands = rounds * (n_pad // (WINDOW * WINDOW))
         if k > n_cands or n_pad <= 4 * self.block:
-            return self._dense_topk(queries, k)
+            return _dense_topk(self.items, self.sq, queries, metric=self.metric,
+                               k=min(k, self.n_items))
+        return _topk_impl(
+            self.items_aug_t, self.items, self.sq, queries,
+            metric=self.metric, n_items=self.n_items, max_sq=self.max_sq,
+            block=self.block, tile=tile, rounds=rounds, k=k,
+            exact_scores=exact_scores, rescore_survivors=rescore_survivors,
+            interpret=self.interpret,
+        )
 
-        pad_q = (-b) % tile
-        q_aug, c_shift = self._augment_queries(queries)
-        q_aug = q_aug.astype(self.items_aug_t.dtype)
-        if pad_q:
-            q_aug = jnp.concatenate(
-                [q_aug, jnp.zeros((pad_q, q_aug.shape[1]), q_aug.dtype)], axis=0
-            )
 
-        packed = _stage1(q_aug, self.items_aug_t, tile, self.block,
-                         interpret=self.interpret)
-        row_block = min(32, packed.shape[0])
-        vals, cols = peel_rows(packed, rounds, row_block=row_block,
-                               interpret=self.interpret)
-        # sort_key_val beats top_k+gather here (0.7 vs 2.3 ms at [2048, 684])
-        neg_keys, col = jax.lax.sort_key_val(-vals, cols, dimension=1)
-        top_v = -neg_keys[:b, :k]
-        col = col[:b, :k]                                   # window index
-        bits = jax.lax.bitcast_convert_type(top_v, jnp.int32)
-        lane = bits & LANE_MASK
-        idx = jnp.minimum(col * WINDOW + lane, self.n_items - 1)
-        # pad windows pack to bits in [0, 128); every real score is >= 1.0
-        # whose bits are 0x3F800000 — rank pads out
-        live = bits >= 0x3F800000
+def _augment_queries(q, max_sq: float, metric: str):
+    """[B, D] -> [B, D+2] = [aq, u, C]; C a power of two making every
+    real score positive (>= 1) in both metrics."""
+    qf = q.astype(jnp.float32)
+    qsq_max = jnp.max(jnp.sum(qf * qf, axis=1))
+    bound = 2.0 + qsq_max + 2.0 * max_sq
+    c = jnp.exp2(jnp.ceil(jnp.log2(bound)))  # bf16-exact shift
+    # score = a*(q.x) - u*||x||^2 + c against item column [x, -||x||^2, 1]
+    a, u = (2.0, 1.0) if metric == "euclidean" else (1.0, 0.0)
+    b = q.shape[0]
+    return jnp.concatenate(
+        [a * qf, jnp.full((b, 1), u, jnp.float32),
+         jnp.broadcast_to(c, (b, 1))], axis=1
+    ), c
 
-        if exact_scores:
-            s = self._rescore(queries, idx)
-            s = jnp.where(live, s, NEG)
-            s_sorted, order = jax.lax.top_k(s, k)
-            return s_sorted, jnp.take_along_axis(idx, order, axis=1)
-        s = jax.lax.bitcast_convert_type(bits & ~LANE_MASK, jnp.float32) - c_shift
-        return jnp.where(live, s, NEG), idx
 
-    def _dense_topk(self, queries, k):
-        """Exact path for tables too small for the tiled kernel."""
-        s = queries.astype(jnp.float32) @ self.items.astype(jnp.float32).T
-        if self.metric == "euclidean":
-            s = 2.0 * s - self.sq[None, :]
-        return jax.lax.top_k(s, min(k, self.n_items))
+def _rescore(items, sq, q, idx, metric: str):
+    """Scores of items ``idx`` [B, k] under the metric, f32 math."""
+    gathered = items[idx].astype(jnp.float32)  # [B, k, D]
+    s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), gathered)
+    if metric == "euclidean":
+        s = 2.0 * s - sq[idx]
+    return s
+
+
+@partial(jax.jit, static_argnames=(
+    "metric", "n_items", "max_sq", "block", "tile", "rounds", "k",
+    "exact_scores", "rescore_survivors", "interpret"))
+def _topk_impl(items_aug_t, items, sq, queries, *, metric, n_items, max_sq,
+               block, tile, rounds, k, exact_scores, rescore_survivors,
+               interpret):
+    b, d = queries.shape
+    pad_q = (-b) % tile
+    q_aug, c_shift = _augment_queries(queries, max_sq, metric)
+    q_aug = q_aug.astype(items_aug_t.dtype)
+    if pad_q:
+        q_aug = jnp.concatenate(
+            [q_aug, jnp.zeros((pad_q, q_aug.shape[1]), q_aug.dtype)], axis=0
+        )
+
+    packed = _stage1(q_aug, items_aug_t, tile, block, interpret=interpret)
+    row_block = min(32, packed.shape[0])
+    vals, cols = peel_rows(packed, rounds, row_block=row_block,
+                           interpret=interpret)
+    if rescore_survivors:
+        bits_all = jax.lax.bitcast_convert_type(vals[:b], jnp.int32)
+        idx_all = jnp.minimum(cols[:b] * WINDOW + (bits_all & LANE_MASK),
+                              n_items - 1)
+        live_all = bits_all >= 0x3F800000  # real scores are >= 1.0
+        s_all = jnp.where(live_all, _rescore(items, sq, queries, idx_all, metric), NEG)
+        neg_s, idx_sorted = jax.lax.sort_key_val(-s_all, idx_all, dimension=1)
+        return -neg_s[:, :k], idx_sorted[:, :k]
+    # sort_key_val beats top_k+gather here (0.7 vs 2.3 ms at [2048, 684])
+    neg_keys, col = jax.lax.sort_key_val(-vals, cols, dimension=1)
+    top_v = -neg_keys[:b, :k]
+    col = col[:b, :k]                                   # window index
+    bits = jax.lax.bitcast_convert_type(top_v, jnp.int32)
+    lane = bits & LANE_MASK
+    idx = jnp.minimum(col * WINDOW + lane, n_items - 1)
+    # pad windows pack to bits in [0, 128); every real score is >= 1.0
+    # whose bits are 0x3F800000 — rank pads out
+    live = bits >= 0x3F800000
+
+    if exact_scores:
+        s = _rescore(items, sq, queries, idx, metric)
+        s = jnp.where(live, s, NEG)
+        s_sorted, order = jax.lax.top_k(s, k)
+        return s_sorted, jnp.take_along_axis(idx, order, axis=1)
+    s = jax.lax.bitcast_convert_type(bits & ~LANE_MASK, jnp.float32) - c_shift
+    return jnp.where(live, s, NEG), idx
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _dense_topk(items, sq, queries, *, metric, k):
+    """Exact path for tables too small for the tiled kernel."""
+    s = queries.astype(jnp.float32) @ items.astype(jnp.float32).T
+    if metric == "euclidean":
+        s = 2.0 * s - sq[None, :]
+    return jax.lax.top_k(s, k)

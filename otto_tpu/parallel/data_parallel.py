@@ -85,7 +85,8 @@ def make_dp_sequence_step(mesh: Mesh, optimizer, data_axis: str = "data"):
 
 
 def make_dp_gbdt_grow(mesh: Mesh, *, depth: int, n_bins: int,
-                      hist_chunk: int = 1 << 18, data_axis: str = "data"):
+                      hist_chunk: int = 1 << 18, data_axis: str = "data",
+                      hist_impl: str = "matmul"):
     """Data-parallel GBDT tree growth: rows shard over ``data``; each device
     builds local histograms and one ``psum`` per level merges them over ICI
     (bytes per level = nodes * features * bins * 3 * 4, independent of row
@@ -102,7 +103,8 @@ def make_dp_gbdt_grow(mesh: Mesh, *, depth: int, n_bins: int,
     from otto_tpu.models.gbdt import _grow_tree_impl
 
     fn = partial(_grow_tree_impl, depth=depth, n_bins=n_bins,
-                 hist_chunk=hist_chunk, axis_name=data_axis)
+                 hist_chunk=hist_chunk, axis_name=data_axis,
+                 hist_impl=hist_impl)
     D, R = P(data_axis), P()
     return jax.jit(shard_map(
         fn,

@@ -97,6 +97,45 @@ def test_hist_chunking_equivalence(rng):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-6)
 
 
+def test_mm_hist_matches_numpy(rng):
+    from otto_tpu.models.gbdt import _mm_hist
+
+    N, F, n_bins, K = 500, 6, 16, 4
+    binned = rng.integers(0, n_bins, size=(N, F)).astype(np.uint8)
+    key = rng.integers(0, K, size=N).astype(np.int32)
+    vals = rng.normal(size=(N, 3)).astype(np.float32)
+    got = np.asarray(_mm_hist(jnp.asarray(binned), jnp.asarray(key),
+                              jnp.asarray(vals), K, n_bins, chunk=128))
+    ref = np.zeros((K, F, n_bins, 3), np.float64)
+    for r in range(N):
+        for f in range(F):
+            ref[key[r], f, binned[r, f]] += vals[r]
+    # near-zero entries cancel (sums of ~N(0,1)); bound the absolute error
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_grow_tree_matmul_matches_scatter(rng):
+    """The factored-matmul + sibling-subtraction histograms reproduce the
+    scatter path's trees (same splits, same leaves) on random data."""
+    N, F, n_bins = 600, 5, 16
+    binned = jnp.asarray(rng.integers(0, n_bins, size=(N, F)).astype(np.uint8))
+    g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    h = jnp.asarray(rng.uniform(0.1, 1.0, size=N).astype(np.float32))
+    ones = jnp.ones(N, jnp.float32)
+    args = (binned, g, h, ones, ones, jnp.ones(F, bool),
+            jnp.float32(0.01), jnp.float32(0.0), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.5))
+    a = _grow_tree(*args, depth=4, n_bins=n_bins, hist_chunk=1 << 18,
+                   hist_impl="matmul")
+    b = _grow_tree(*args, depth=4, n_bins=n_bins, hist_chunk=1 << 18,
+                   hist_impl="scatter")
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))  # feats
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))  # thrs
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               rtol=1e-4, atol=1e-5)  # leaves
+    np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))  # routing
+
+
 def test_lambdarank_gh_matches_autodiff(rng):
     S, C = 6, 9
     scores = jnp.asarray(rng.normal(size=(S, C)).astype(np.float32))

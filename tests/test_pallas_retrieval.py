@@ -99,6 +99,39 @@ def test_retriever_high_recall_and_exact_scores(metric):
     assert (np.diff(s, axis=1) <= 1e-5).all()
 
 
+def test_retriever_rescore_survivors():
+    """Survivor rescoring returns exact f32 scores for the items it picks and
+    at least the recall of the packed-key path (it re-ranks the same survivor
+    pool with exact scores)."""
+    rng = np.random.default_rng(4)
+    n, d, b, k = 5 * 16384 + 123, 32, 16, 20
+    items = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+
+    r = PallasRetriever(items, metric="euclidean", interpret=True)
+    s, i = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6,
+                  rescore_survivors=True)
+    s, i = np.asarray(s), np.asarray(i)
+
+    scores = 2.0 * (queries @ items.T) - np.sum(items * items, axis=1)[None, :]
+    exact_i = np.argsort(-scores, axis=1)[:, :k]
+
+    assert i.min() >= 0 and i.max() < n
+    np.testing.assert_allclose(s, np.take_along_axis(scores, i, axis=1),
+                               rtol=1e-5, atol=1e-4)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+    hits = sum(len(set(map(int, a)) & set(map(int, e)))
+               for a, e in zip(i, exact_i))
+    assert hits / (b * k) >= 0.9
+
+    # the pool-selection (packed, bf16) path cannot beat exact rescoring of
+    # the same pool
+    sp, ip = r.topk(jnp.asarray(queries), k=k, tile=8, rounds=6)
+    hits_p = sum(len(set(map(int, a)) & set(map(int, e)))
+                 for a, e in zip(np.asarray(ip), exact_i))
+    assert hits >= hits_p
+
+
 def test_retriever_tiny_table_dense_fallback():
     rng = np.random.default_rng(3)
     items = rng.normal(size=(500, 16)).astype(np.float32)
