@@ -123,30 +123,37 @@ def _layer_norm(ln, x, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
 
 
+def transformer_block(layer, x: jax.Array, attn_ok: jax.Array) -> jax.Array:
+    """One pre-LN causal self-attention + FFN block (single-device form; the
+    tensor-parallel variant with head/hidden sharding lives in
+    parallel/model_parallel.py)."""
+    B, L, D = x.shape
+    h = _layer_norm(layer["ln1"], x)
+    hd = layer["wq"].shape[-1]
+    q = jnp.einsum("bld,dhk->blhk", h, layer["wq"])
+    k = jnp.einsum("bld,dhk->blhk", h, layer["wk"])
+    v = jnp.einsum("bld,dhk->blhk", h, layer["wv"])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+    logits = jnp.where(attn_ok[:, None], logits, -1e9)
+    att = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
+    x = x + out @ layer["wo"]
+    h = _layer_norm(layer["ln2"], x)
+    return x + jax.nn.gelu(h @ layer["ffn_w1"] + layer["ffn_b1"]) @ layer["ffn_w2"] + layer["ffn_b2"]
+
+
 def _encode_transformer(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     """SASRec-style causal encoder.  Sessions are right-padded
     (EventStore.pack keep='last'); the session vector is the hidden state at
     the last valid position.  L is small (20) so attention is one fused MXU
     matmul per layer — no flash/ring machinery needed (SURVEY §5.7)."""
     B, L = seq.shape
-    D = params["pos_emb"].shape[1]
     x = params["item_emb"][seq] + params["pos_emb"][None, :L]  # [B, L, D]
     x = jnp.where(mask[:, :, None], x, 0.0)
     causal = jnp.tril(jnp.ones((L, L), bool))
     attn_ok = causal[None] & mask[:, None, :]  # [B, Lq, Lk]
     for layer in params["layers"]:
-        h = _layer_norm(layer["ln1"], x)
-        hd = layer["wq"].shape[-1]
-        q = jnp.einsum("bld,dhk->blhk", h, layer["wq"])
-        k = jnp.einsum("bld,dhk->blhk", h, layer["wk"])
-        v = jnp.einsum("bld,dhk->blhk", h, layer["wv"])
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-        logits = jnp.where(attn_ok[:, None], logits, -1e9)
-        att = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
-        x = x + out @ layer["wo"]
-        h = _layer_norm(layer["ln2"], x)
-        x = x + jax.nn.gelu(h @ layer["ffn_w1"] + layer["ffn_b1"]) @ layer["ffn_w2"] + layer["ffn_b2"]
+        x = transformer_block(layer, x, attn_ok)
     x = _layer_norm(params["final_ln"], x)
     last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [B]
     h_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
