@@ -125,6 +125,34 @@ def test_ep_moe_mesh_invariance():
         assert _max_leaf_diff(p2, ref_p) < 1e-6, key
 
 
+def test_sharded_checkpoint_roundtrip(setup, tmp_path):
+    """tp-sharded params save through the checkpoint manager and restore
+    *onto the mesh* (sharded template), then keep training identically."""
+    from otto_tpu.utils.checkpoint import CheckpointManager
+
+    params, batch, opt, _, _ = setup
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    specs = tp_param_specs(params)
+    p = shard_params(mesh, _copy(params), specs)
+    step = make_tp_sequence_step(mesh, opt)
+    p1, st1, _ = step(p, opt.init(p), *batch)
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(1, {"params": jax.tree.map(np.asarray, p1)})
+    template = shard_params(mesh, jax.tree.map(jnp.zeros_like, params), specs)
+    restored = mgr.restore(1, template={"params": template})["params"]
+    mgr.close()
+
+    assert _max_leaf_diff(restored, p1) == 0.0
+    # restored arrays carry the mesh shardings and training continues
+    wq = restored["layers"][0]["wq"]
+    assert "model" in str(wq.sharding.spec)
+    p2a, _, la = step(_copy(p1), opt.init(p1), *batch)
+    p2b, _, lb = step(restored, opt.init(restored), *batch)
+    assert abs(float(la) - float(lb)) < 1e-6
+    assert _max_leaf_diff(p2a, p2b) < 1e-6
+
+
 def test_ep_moe_capacity_drops_tokens():
     """Over-capacity tokens must pass through with zero expert contribution
     (residual only) — check the forward is finite and differs from the
