@@ -105,6 +105,8 @@ class SGNSConfig(ConfigBase):
     learning_rate: float = 0.05
     min_learning_rate: float = 1e-4
     ns_exponent: float = 0.75
+    objective: str = "ns"  # "ns" (negative sampling) or "hs" (hierarchical
+    # softmax over a Huffman tree — the reference word2vec's hs: 1)
     subsample_t: float = 1e-4  # frequent-aid downsampling threshold (fastText `t`)
     batch_centers: int = 8192  # center positions per optimizer step
     steps_per_call: int = 8  # optimizer steps scanned per device dispatch

@@ -31,14 +31,21 @@ class BatchLoader:
     - ``sharding``: a ``jax.sharding.Sharding`` each batch is placed with
       (e.g. ``NamedSharding(mesh, P('data'))``).
     - ``prefetch``: queue depth; 2 = classic double buffering.
+    - ``transform``: host-side callable applied to each batch tuple on the
+      worker thread before the device put (e.g. a lookup-table gather that
+      would be too large to materialize for the whole epoch); returns the
+      tuple of arrays to ship.
 
     Usable as a one-shot iterator; ``close()`` (or exhausting it) stops the
     worker.  Exceptions in the worker re-raise at the consuming site.
     """
 
     def __init__(self, arrays, batch_size: int, *, order: np.ndarray | None = None,
-                 sharding=None, prefetch: int = 2, drop_remainder: bool = True):
+                 sharding=None, prefetch: int = 2, drop_remainder: bool = True,
+                 transform=None):
         import jax
+
+        self._transform = transform
 
         self._arrays = tuple(arrays)
         n = len(self._arrays[0])
@@ -69,7 +76,10 @@ class BatchLoader:
                     # tile as often as needed when B exceeds the epoch size
                     reps = -(-(B - len(sel)) // max(n, 1))
                     sel = np.concatenate([sel] + [self._order] * reps)[:B]
-                batch = tuple(self._put(a[sel]) for a in self._arrays)
+                host = tuple(a[sel] for a in self._arrays)
+                if self._transform is not None:
+                    host = self._transform(*host)
+                batch = tuple(self._put(a) for a in host)
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.1)

@@ -134,6 +134,109 @@ _sgns_step = jax.jit(_sgns_step_impl, static_argnames=("n_negatives",),
                      donate_argnums=(0, 1, 2, 3))
 
 
+def build_huffman_paths(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Huffman tree over aid frequencies → per-leaf classifier paths, for the
+    hierarchical-softmax objective (the reference's word2vec trains with
+    ``hs: 1`` — models/word2vec/config.yaml:14).
+
+    Returns ``(nodes int32 [V, L], signs int8 [V, L])``: row ``v`` lists the
+    inner-node ids (0..V-2) on ``v``'s root→leaf path with ``sign = 1-2*code``
+    (word2vec's branch encoding); positions past the path depth pad with
+    node 0 / sign 0 (masked out by sign == 0, and their gradients are exactly
+    zero).  Built with the two-queue O(V) merge after one sort; path
+    extraction is vectorized by climbing all leaves one level per pass.
+    """
+    V = len(counts)
+    if V < 2:
+        return np.zeros((V, 1), np.int32), np.zeros((V, 1), np.int8)
+    order = np.argsort(counts, kind="stable")
+    leaf_w = np.asarray(counts, np.float64)[order]
+    n_inner = V - 1
+    inner_w = np.zeros(n_inner, np.float64)
+    parent = np.full(V + n_inner, -1, np.int64)  # leaves: original ids; inner: V+i
+    code = np.zeros(V + n_inner, np.int8)
+    li = ii = 0
+    for k in range(n_inner):  # two-queue merge: both queues stay sorted
+        for j in range(2):
+            take_leaf = li < V and (ii >= k or leaf_w[li] <= inner_w[ii])
+            if take_leaf:
+                node_id, w = order[li], leaf_w[li]
+                li += 1
+            else:
+                node_id, w = V + ii, inner_w[ii]
+                ii += 1
+            parent[node_id] = V + k
+            code[node_id] = j
+            inner_w[k] += w
+    root = V + n_inner - 1
+    # climb all leaves level-by-level; step i records (classifier, branch)
+    steps = []
+    cur = np.arange(V, dtype=np.int64)
+    active = cur != root
+    while active.any():
+        p = np.where(active, parent[cur], cur)
+        steps.append((p, code[cur], active))
+        cur = p
+        active = cur != root
+    nodes = np.zeros((V, len(steps)), np.int32)
+    signs = np.zeros((V, len(steps)), np.int8)
+    for i, (p, c, a) in enumerate(steps):
+        idx = np.flatnonzero(a)
+        nodes[idx, i] = (p[idx] - V).astype(np.int32)
+        signs[idx, i] = 1 - 2 * c[idx]
+    return nodes, signs
+
+
+def _hs_step_impl(w_in, w_node, acc_in, acc_node, centers, path_nodes,
+                  path_signs, lr):
+    """One hierarchical-softmax step with the same sparse adagrad as SGNS.
+
+    ``path_nodes/path_signs`` [B, L] are the context word's Huffman path
+    (host-gathered); loss = Σ -log σ(sign · h·w_node) over valid positions.
+    Pad positions (sign 0) contribute exactly zero gradient and scatter a
+    zero row into node 0.
+    """
+    h = w_in[centers]  # [B, D]
+    rows = w_node[path_nodes]  # [B, L, D]
+    sgn = path_signs.astype(jnp.float32)
+    logit = jnp.einsum("bd,bld->bl", h, rows)
+    t = sgn * logit
+    valid = sgn != 0
+    loss = jnp.sum(jnp.where(valid, -jax.nn.log_sigmoid(t), 0.0))
+    g_logit = jnp.where(valid, sgn * (jax.nn.sigmoid(t) - 1.0), 0.0)  # [B, L]
+    g_c = jnp.einsum("bl,bld->bd", g_logit, rows)
+    g_rows = (g_logit[:, :, None] * h[:, None, :]).reshape(-1, h.shape[1])
+    node_idx = path_nodes.reshape(-1)
+    acc_in = acc_in.at[centers].add(g_c * g_c)
+    acc_node = acc_node.at[node_idx].add(g_rows * g_rows)
+    w_in = w_in.at[centers].add(-lr * g_c * jax.lax.rsqrt(acc_in[centers] + 1e-10))
+    w_node = w_node.at[node_idx].add(
+        -lr * g_rows * jax.lax.rsqrt(acc_node[node_idx] + 1e-10)
+    )
+    return w_in, w_node, acc_in, acc_node, loss / centers.shape[0]
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _hs_multi_step(w_in, w_node, acc_in, acc_node, centers, path_nodes,
+                   path_signs, lrs):
+    """G sequential hierarchical-softmax steps in one device program
+    (the hs analog of :func:`_sgns_multi_step`).  centers [G, B];
+    path_nodes/path_signs [G, B, L]; lrs [G]."""
+
+    def body(carry, inp):
+        w_in, w_node, acc_in, acc_node = carry
+        bc, bn, bs, lr = inp
+        w_in, w_node, acc_in, acc_node, loss = _hs_step_impl(
+            w_in, w_node, acc_in, acc_node, bc, bn, bs, lr
+        )
+        return (w_in, w_node, acc_in, acc_node), loss
+
+    (w_in, w_node, acc_in, acc_node), losses = jax.lax.scan(
+        body, (w_in, w_node, acc_in, acc_node), (centers, path_nodes, path_signs, lrs)
+    )
+    return w_in, w_node, acc_in, acc_node, jnp.mean(losses)
+
+
 @partial(jax.jit, static_argnames=("n_negatives",), donate_argnums=(0, 1, 2, 3))
 def _sgns_multi_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf,
                      lrs, key, n_negatives: int):
@@ -208,10 +311,17 @@ def train_sgns(
 
     d = config.dim
     scale = 1.0 / d
+    use_hs = config.objective == "hs"
+    hs_nodes = hs_signs = None
+    n_out = n_aids
+    if use_hs:  # output table holds the V-1 Huffman inner nodes
+        hs_nodes, hs_signs = build_huffman_paths(counts)
+        n_out = max(n_aids - 1, 1)
+        log.info("sgns: hierarchical softmax, max path depth %d", hs_nodes.shape[1])
     w_in = jnp.asarray(rng.uniform(-scale, scale, size=(n_aids, d)).astype(np.float32))
-    w_out = jnp.zeros((n_aids, d), jnp.float32)
+    w_out = jnp.zeros((n_out, d), jnp.float32)
     acc_in = jnp.zeros((n_aids, d), jnp.float32)
-    acc_out = jnp.zeros((n_aids, d), jnp.float32)
+    acc_out = jnp.zeros((n_out, d), jnp.float32)
 
     mgr = None
     start_epoch = 0
@@ -270,11 +380,21 @@ def train_sgns(
             lrs = config.learning_rate * np.maximum(
                 1.0 - (step + np.arange(G)) / max(total_steps, 1), min_ratio
             ).astype(np.float32)
-            w_in, w_out, acc_in, acc_out, key, loss = _sgns_multi_step(
-                w_in, w_out, acc_in, acc_out,
-                gc.reshape(G, B), gx.reshape(G, B),
-                neg_cdf, jnp.asarray(lrs), key, config.negatives,
-            )
+            if use_hs:
+                gx_np = np.asarray(gx)
+                w_in, w_out, acc_in, acc_out, loss = _hs_multi_step(
+                    w_in, w_out, acc_in, acc_out,
+                    gc.reshape(G, B),
+                    jnp.asarray(hs_nodes[gx_np].reshape(G, B, -1)),
+                    jnp.asarray(hs_signs[gx_np].reshape(G, B, -1)),
+                    jnp.asarray(lrs),
+                )
+            else:
+                w_in, w_out, acc_in, acc_out, key, loss = _sgns_multi_step(
+                    w_in, w_out, acc_in, acc_out,
+                    gc.reshape(G, B), gx.reshape(G, B),
+                    neg_cdf, jnp.asarray(lrs), key, config.negatives,
+                )
             step += G
             if (i + 1) % max(log_every // G, 1) == 0 or i == n_groups - 1:
                 losses.append(loss)  # device scalar; forced at epoch end

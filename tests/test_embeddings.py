@@ -130,3 +130,108 @@ def test_session_embedding_model_recovers_cluster():
             correct += (a < 20) == (own_half == 0)
     assert total > 0
     assert correct / total > 0.9
+
+
+# ---------------------------------------------------------------------------
+# hierarchical softmax (the reference word2vec's hs: 1 —
+# models/word2vec/config.yaml:14)
+# ---------------------------------------------------------------------------
+
+
+def test_huffman_paths_optimal_depths():
+    from otto_tpu.models.embeddings import build_huffman_paths
+
+    counts = np.array([5.0, 3.0, 1.0, 1.0])
+    nodes, signs = build_huffman_paths(counts)
+    lens = (signs != 0).sum(axis=1)
+    # classic Huffman: depth 1 for the 5, 2 for the 3, 3 for both 1s
+    np.testing.assert_array_equal(lens, [1, 2, 3, 3])
+    # expected code length equals the Huffman optimum Σ p_i * l_i
+    p = counts / counts.sum()
+    assert np.isclose(np.sum(p * lens), (5 * 1 + 3 * 2 + 1 * 3 + 1 * 3) / 10)
+    # prefix-free: the (node, sign) step sequences of any two leaves diverge
+    paths = [
+        [(int(nodes[v, i]), int(signs[v, i])) for i in range(lens[v])]
+        for v in range(4)
+    ]
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert paths[a] != paths[b][: len(paths[a])]
+            assert paths[b] != paths[a][: len(paths[b])]
+    # inner-node ids cover 0..V-2
+    used = {int(nodes[v, i]) for v in range(4) for i in range(lens[v])}
+    assert used == {0, 1, 2}
+
+
+def test_huffman_paths_code_budget_large():
+    from otto_tpu.models.embeddings import build_huffman_paths
+
+    rng = np.random.default_rng(0)
+    counts = rng.zipf(1.5, size=5000).astype(np.float64)
+    nodes, signs = build_huffman_paths(counts)
+    lens = (signs != 0).sum(axis=1)
+    p = counts / counts.sum()
+    entropy = -np.sum(p * np.log2(p))
+    avg = np.sum(p * lens)
+    assert entropy <= avg <= entropy + 1  # Huffman optimality bound
+
+
+def test_hs_step_matches_autodiff():
+    """The hand-written sparse hs gradients equal autodiff of the dense
+    loss (plain SGD step, unit accumulator scaling removed by comparing
+    gradients via the adagrad-free closed form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otto_tpu.models.embeddings import _hs_step_impl, build_huffman_paths
+
+    rng = np.random.default_rng(1)
+    V, D, B = 12, 6, 8
+    counts = rng.integers(1, 50, V).astype(np.float64)
+    nodes, signs = build_huffman_paths(counts)
+    w_in = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.3)
+    w_node = jnp.asarray(rng.normal(size=(V - 1, D)).astype(np.float32) * 0.3)
+    centers = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    ctx = rng.integers(0, V, B)
+    pn = jnp.asarray(nodes[ctx])
+    ps = jnp.asarray(signs[ctx])
+
+    def dense_loss(w_in, w_node):
+        h = w_in[centers]
+        rows = w_node[pn]
+        sgn = ps.astype(jnp.float32)
+        t = sgn * jnp.einsum("bd,bld->bl", h, rows)
+        return jnp.sum(jnp.where(sgn != 0, -jax.nn.log_sigmoid(t), 0.0))
+
+    g_in, g_node = jax.grad(dense_loss, argnums=(0, 1))(w_in, w_node)
+
+    # run the sparse step with huge accumulators so update ≈ -lr * g / sqrt(acc)
+    big = jnp.full_like(w_in, 1e8), jnp.full_like(w_node, 1e8)
+    w_in2, w_node2, *_ = _hs_step_impl(w_in, w_node, *big, centers, pn, ps,
+                                       jnp.float32(1e4))
+    # -lr/sqrt(acc) = -1e4/1e4 = -1 → update == -gradient
+    np.testing.assert_allclose(np.asarray(w_in - w_in2), np.asarray(g_in),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_node - w_node2), np.asarray(g_node),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_hs_training_learns_cluster_structure():
+    rng = np.random.default_rng(0)
+    S, L, n_clusters, per = 1200, 10, 4, 8
+    n_aids = n_clusters * per
+    sess = np.repeat(np.arange(S), L)
+    clus = rng.integers(0, n_clusters, S)
+    aid = (np.repeat(clus, L) * per + rng.integers(0, per, S * L)).astype(np.int64)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S),
+                              np.zeros(S * L, np.int8))
+    cfg = SGNSConfig(dim=8, window=4, epochs=12, batch_centers=4096,
+                     subsample_t=0, objective="hs")
+    model = train_sgns(es, n_aids=n_aids, config=cfg)
+    emb = model.embeddings
+    din, dout = [], []
+    for a in range(n_aids):
+        for b in range(a + 1, n_aids):
+            d = np.linalg.norm(emb[a] - emb[b])
+            (din if a // per == b // per else dout).append(d)
+    assert np.mean(din) < 0.7 * np.mean(dout), (np.mean(din), np.mean(dout))
