@@ -276,6 +276,9 @@ class SequenceModelConfig(ConfigBase):
     architecture: str = "gru"  # 'gru' | 'transformer'
     n_layers: int = 2  # transformer only
     n_heads: int = 2  # transformer only
+    moe_experts: int = 0  # transformer only: > 0 replaces each FFN with a
+    # top-1-gated mixture of experts (ops/moe.py); expert-parallel training
+    # shards the expert dimension over the mesh's model axis
 
 
 @dataclass(frozen=True)

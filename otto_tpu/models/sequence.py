@@ -45,6 +45,7 @@ def init_params(
     max_len: int = 20,
     n_layers: int = 2,
     n_heads: int = 2,
+    moe_experts: int = 0,
 ) -> dict:
     if architecture == "gru":
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -71,22 +72,29 @@ def init_params(
         hd = dim // n_heads
         for li in range(n_layers):
             lk = jax.random.split(keys[3 + li], 6)
-            p["layers"].append(
-                {
-                    # [D, heads, head_dim] so the head count travels with the
-                    # array shape (params stay a pure-array pytree for optax)
-                    "wq": jax.random.normal(lk[0], (dim, n_heads, hd)) * s,
-                    "wk": jax.random.normal(lk[1], (dim, n_heads, hd)) * s,
-                    "wv": jax.random.normal(lk[2], (dim, n_heads, hd)) * s,
-                    "wo": jax.random.normal(lk[3], (dim, dim)) * s,
-                    "ffn_w1": jax.random.normal(lk[4], (dim, 4 * dim)) * s,
-                    "ffn_b1": jnp.zeros((4 * dim,)),
-                    "ffn_w2": jax.random.normal(lk[5], (4 * dim, dim)) * np.sqrt(0.25 / dim),
-                    "ffn_b2": jnp.zeros((dim,)),
-                    "ln1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
-                    "ln2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
-                }
-            )
+            layer = {
+                # [D, heads, head_dim] so the head count travels with the
+                # array shape (params stay a pure-array pytree for optax)
+                "wq": jax.random.normal(lk[0], (dim, n_heads, hd)) * s,
+                "wk": jax.random.normal(lk[1], (dim, n_heads, hd)) * s,
+                "wv": jax.random.normal(lk[2], (dim, n_heads, hd)) * s,
+                "wo": jax.random.normal(lk[3], (dim, dim)) * s,
+                "ln1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+                "ln2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+            }
+            if moe_experts > 0:
+                # top-1-gated MoE FFN (ops/moe.py); same 4x hidden per expert
+                from otto_tpu.ops.moe import init_moe
+
+                layer["moe"] = init_moe(lk[4], dim, 4 * dim, moe_experts)
+            else:
+                layer.update(
+                    ffn_w1=jax.random.normal(lk[4], (dim, 4 * dim)) * s,
+                    ffn_b1=jnp.zeros((4 * dim,)),
+                    ffn_w2=jax.random.normal(lk[5], (4 * dim, dim)) * np.sqrt(0.25 / dim),
+                    ffn_b2=jnp.zeros((dim,)),
+                )
+            p["layers"].append(layer)
         return p
     raise ValueError(f"unknown architecture {architecture!r}")
 
@@ -126,7 +134,8 @@ def _layer_norm(ln, x, eps=1e-6):
 def transformer_block(layer, x: jax.Array, attn_ok: jax.Array) -> jax.Array:
     """One pre-LN causal self-attention + FFN block (single-device form; the
     tensor-parallel variant with head/hidden sharding lives in
-    parallel/model_parallel.py)."""
+    parallel/model_parallel.py).  Layers carrying a ``moe`` sub-tree use the
+    top-1-gated mixture-of-experts FFN instead of the dense one."""
     B, L, D = x.shape
     h = _layer_norm(layer["ln1"], x)
     hd = layer["wq"].shape[-1]
@@ -139,7 +148,25 @@ def transformer_block(layer, x: jax.Array, attn_ok: jax.Array) -> jax.Array:
     out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
     x = x + out @ layer["wo"]
     h = _layer_norm(layer["ln2"], x)
+    if "moe" in layer:
+        return x + _moe_ffn(layer["moe"], h, attn_ok, model_axis=None)
     return x + jax.nn.gelu(h @ layer["ffn_w1"] + layer["ffn_b1"]) @ layer["ffn_w2"] + layer["ffn_b2"]
+
+
+def _moe_ffn(moe, h: jax.Array, attn_ok: jax.Array, model_axis) -> jax.Array:
+    """MoE FFN over the flattened [B*L] token stream; padding positions
+    (derived from the last attention row, which is exactly the key mask)
+    never occupy expert capacity.  Capacity factor 2 over a uniform split."""
+    from otto_tpu.ops.moe import moe_apply
+
+    B, L, D = h.shape
+    n_experts = moe["wg"].shape[1]
+    tok_ok = attn_ok[:, -1, :].reshape(-1)  # [B*L] key mask
+    T = B * L
+    cap = min(T, max(1, -(-2 * T // n_experts)))
+    out = moe_apply(moe, h.reshape(T, D), capacity=cap, model_axis=model_axis,
+                    token_mask=tok_ok)
+    return out.reshape(B, L, D)
 
 
 def _encode_transformer(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
@@ -224,6 +251,7 @@ class SequenceModel:
             jax.random.PRNGKey(0), config.n_aids, config.dim, config.hidden,
             architecture=config.architecture, max_len=config.max_len,
             n_layers=config.n_layers, n_heads=config.n_heads,
+            moe_experts=config.moe_experts,
         )
         treedef = jax.tree_util.tree_structure(template)
         z = np.load(path)
@@ -263,6 +291,7 @@ def train_sequence_model(
         init_key, config.n_aids, config.dim, config.hidden,
         architecture=config.architecture, max_len=config.max_len,
         n_layers=config.n_layers, n_heads=config.n_heads,
+        moe_experts=config.moe_experts,
     )
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(params)

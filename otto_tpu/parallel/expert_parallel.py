@@ -8,13 +8,9 @@ gating, fixed per-expert capacity, dense one-hot dispatch/combine matmuls
 (MXU-friendly — the classic Shazeer formulation), and a single ``psum`` to
 combine expert outputs.
 
-Token layout note: activations here are replicated over the ``model`` axis
-(as in the tensor-parallel encoder), so combining expert outputs is a
-``psum``; when tokens are *sharded* over the expert axis the same dispatch
-tensors ride ``all_to_all`` instead — the math is otherwise identical.
-
-Dropped tokens (expert over capacity) pass through the residual path with
-zero expert contribution, the standard capacity-factor behavior.
+The MoE core (gating/dispatch/combine) lives in :mod:`otto_tpu.ops.moe`
+and is shared with the transformer's ``moe_experts`` FFN; this module adds
+the expert-parallel pooled-session recommender and its training step.
 """
 
 from __future__ import annotations
@@ -28,49 +24,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from otto_tpu.parallel.model_parallel import _on_shard0, _sampled_softmax
 
 
-def init_moe(key, dim: int, hidden: int, n_experts: int):
-    kg, k1, k2 = jax.random.split(key, 3)
-    s = (1.0 / dim) ** 0.5
-    return {
-        "wg": jax.random.normal(kg, (dim, n_experts)) * s,
-        "w1": jax.random.normal(k1, (n_experts, dim, hidden)) * s,
-        "b1": jnp.zeros((n_experts, hidden)),
-        "w2": jax.random.normal(k2, (n_experts, hidden, dim)) * (1.0 / hidden) ** 0.5,
-        "b2": jnp.zeros((dim,)),
-    }
-
-
-def moe_param_specs(model_axis: str = "model"):
-    return {"wg": P(), "w1": P(model_axis), "b1": P(model_axis),
-            "w2": P(model_axis), "b2": P()}
-
-
-def moe_apply(p, x, *, capacity: int, model_axis: str = "model"):
-    """MoE FFN over tokens ``x`` [T, D] (replicated across ``model``); the
-    local param shard holds ``E/mp`` experts.  Must run inside shard_map.
-
-    Each local expert gathers its top-``capacity`` assigned tokens with a
-    one-hot dispatch matmul, applies its FFN, and scatters back weighted by
-    the gate probability; shards combine with one psum."""
-    T, D = x.shape
-    capacity = min(capacity, T)
-    e_loc = p["w1"].shape[0]
-    m = jax.lax.axis_index(model_axis)
-    gate = jax.nn.softmax(x @ p["wg"], axis=1)  # [T, E] (global expert count)
-    assign = jnp.argmax(gate, axis=1)
-    top_p = jnp.max(gate, axis=1)
-    out = jnp.zeros_like(x)
-    for e in range(e_loc):
-        ge = m * e_loc + e
-        score = jnp.where(assign == ge, top_p, -1.0)
-        val, idx = jax.lax.top_k(score, capacity)  # this expert's tokens
-        w = jnp.where(val > 0, val, 0.0)  # gate weight; 0 for empty slots
-        disp = jax.nn.one_hot(idx, T, dtype=x.dtype) * (w > 0)[:, None]  # [C, T]
-        xe = disp @ x  # [C, D] gathered tokens (MXU dispatch)
-        he = jax.nn.gelu(xe @ p["w1"][e] + p["b1"][e]) @ p["w2"][e]
-        out = out + disp.T @ (he * w[:, None])  # combine
-    out = jax.lax.psum(out, model_axis)
-    return out + p["b2"]
+from otto_tpu.ops.moe import init_moe, moe_apply, moe_param_specs  # noqa: F401
+# (core moved to ops/moe.py so the transformer can use the MoE FFN without an
+# import cycle; this module keeps the expert-parallel recommender + step)
 
 
 def init_moe_recommender(key, n_aids: int, dim: int, hidden: int, n_experts: int):

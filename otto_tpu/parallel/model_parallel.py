@@ -74,26 +74,40 @@ def tp_param_specs(params, model_axis: str = "model"):
     """PartitionSpec pytree for ``models.sequence.init_params`` transformer
     params under Megatron-style tensor parallelism: wq/wk/wv shard on the
     head axis, wo on its (head-major) input rows, ffn_w1/b1 on the hidden
-    columns, ffn_w2 on the hidden rows; everything else replicates."""
-    ln = {"scale": P(), "bias": P()}
-    layer = {
-        "wq": P(None, model_axis, None),
-        "wk": P(None, model_axis, None),
-        "wv": P(None, model_axis, None),
-        "wo": P(model_axis, None),
-        "ffn_w1": P(None, model_axis),
-        "ffn_b1": P(model_axis),
-        "ffn_w2": P(model_axis, None),
-        "ffn_b2": P(),
-        "ln1": dict(ln),
-        "ln2": dict(ln),
-    }
+    columns, ffn_w2 on the hidden rows (or, for MoE layers, experts shard
+    over the axis — expert parallelism); everything else replicates."""
+
+    def ln():
+        return {"scale": P(), "bias": P()}
+
+    def layer_spec(layer):
+        spec = {
+            "wq": P(None, model_axis, None),
+            "wk": P(None, model_axis, None),
+            "wv": P(None, model_axis, None),
+            "wo": P(model_axis, None),
+            "ln1": ln(),
+            "ln2": ln(),
+        }
+        if "moe" in layer:
+            from otto_tpu.ops.moe import moe_param_specs
+
+            spec["moe"] = moe_param_specs(model_axis)
+        else:
+            spec.update(
+                ffn_w1=P(None, model_axis),
+                ffn_b1=P(model_axis),
+                ffn_w2=P(model_axis, None),
+                ffn_b2=P(),
+            )
+        return spec
+
     return {
         "item_emb": P(),
         "pos_emb": P(),
         "out_proj": P(),
-        "final_ln": dict(ln),
-        "layers": [dict(layer, ln1=dict(ln), ln2=dict(ln)) for _ in params["layers"]],
+        "final_ln": ln(),
+        "layers": [layer_spec(l) for l in params["layers"]],
     }
 
 
@@ -129,9 +143,20 @@ def _tp_block(layer, x, attn_ok, model_axis: str, sp: bool):
     else:
         red = jax.lax.psum(part, model_axis)
     x = x + red
+    l_loc = x.shape[1]
     h = _layer_norm(layer["ln2"], x)
     if sp:
         h = jax.lax.all_gather(h, model_axis, axis=1, tiled=True)
+    if "moe" in layer:
+        # expert-parallel FFN: experts shard over the axis, moe_apply's psum
+        # combines them (already replicated — under sp just take our slice)
+        from otto_tpu.models.sequence import _moe_ffn
+
+        red = _moe_ffn(layer["moe"], h, attn_ok, model_axis=model_axis)
+        if sp:
+            m = jax.lax.axis_index(model_axis)
+            red = jax.lax.dynamic_slice_in_dim(red, m * l_loc, l_loc, axis=1)
+        return x + red
     part = jax.nn.gelu(h @ layer["ffn_w1"] + layer["ffn_b1"]) @ layer["ffn_w2"]
     if sp:
         red = jax.lax.psum_scatter(part, model_axis, scatter_dimension=1, tiled=True)

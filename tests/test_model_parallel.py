@@ -180,3 +180,70 @@ def test_ep_moe_capacity_drops_tokens():
     capped = np.asarray(run(1))
     assert np.isfinite(full).all() and np.isfinite(capped).all()
     assert np.abs(full - capped).max() > 1e-6
+
+
+@pytest.mark.parametrize("dp,mp,sp", [(2, 4, False), (2, 4, True), (2, 2, False)])
+def test_tp_moe_transformer_matches_single_device(dp, mp, sp):
+    """Transformer with MoE FFN layers (moe_experts=8): tensor-parallel
+    attention + expert-parallel FFN must match the single-device dense-MoE
+    oracle."""
+    rng = np.random.default_rng(2)
+    params = init_params(jax.random.PRNGKey(1), V, D, D, architecture="transformer",
+                         max_len=L, n_layers=2, n_heads=8, moe_experts=8)
+    seq = jnp.asarray(rng.integers(0, V, (B, L)).astype(np.int32))
+    lens = rng.integers(2, L + 1, B)
+    mask = jnp.asarray(np.arange(L)[None, :] < lens[:, None])
+    tgt = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    negs = jnp.asarray(rng.integers(0, V, (B, NEG)).astype(np.int32))
+    opt = optax.sgd(0.1)
+
+    def oracle_loss(p):
+        return _sampled_softmax(encode(p, seq, mask), p["item_emb"], tgt, negs)
+
+    oloss, ograds = jax.value_and_grad(oracle_loss)(params)
+    oparams = optax.apply_updates(params, opt.update(ograds, opt.init(params), params)[0])
+
+    mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp),
+                     devices=jax.devices()[: dp * mp])
+    p = shard_params(mesh, _copy(params), tp_param_specs(params))
+    step = make_tp_sequence_step(mesh, opt, sequence_parallel=sp)
+    p2, _, loss = step(p, opt.init(p), seq, mask, tgt, negs)
+    assert abs(float(loss) - float(oloss)) < 1e-5
+    assert _max_leaf_diff(p2, oparams) < 1e-5
+
+
+def test_pp_moe_transformer_matches_matched_groups():
+    """MoE routing/capacity is defined per token group, so the pipeline's
+    microbatching IS part of the math: the oracle is a 1-device, 1-stage
+    pipeline with the same microbatch size (dp=2 x n_micro=2 over 8 sessions
+    == 4 microbatches of 2), which must match exactly."""
+    params = init_params(jax.random.PRNGKey(1), V, D, D, architecture="transformer",
+                         max_len=L, n_layers=4, n_heads=4, moe_experts=4)
+    rng = np.random.default_rng(3)
+    seq = jnp.asarray(rng.integers(0, V, (B, L)).astype(np.int32))
+    mask = jnp.asarray(np.arange(L)[None, :] < rng.integers(2, L + 1, B)[:, None])
+    tgt = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    negs = jnp.asarray(rng.integers(0, V, (B, NEG)).astype(np.int32))
+    opt = optax.sgd(0.1)
+    batch = (seq, mask, tgt, negs)
+
+    def run(dp, mp, n_micro):
+        mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp),
+                         devices=jax.devices()[: dp * mp])
+        stacked = stack_pipeline_params(params, mp)
+        p = shard_params(mesh, _copy(stacked), pp_param_specs(stacked))
+        step = make_pp_sequence_step(mesh, opt, n_micro=n_micro)
+        p2, _, loss = step(p, opt.init(p), *batch)
+        flat = {f"l{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(
+            {k: v for k, v in p2.items() if k != "stage_layers"}))}
+        stages = jax.tree.map(np.asarray, p2["stage_layers"])
+        return float(loss), flat, stages
+
+    loss_pp, flat_pp, stages_pp = run(2, 4, 2)   # 4 stages, mbs = 2
+    loss_1, flat_1, stages_1 = run(1, 1, 4)      # 1 stage, same mbs = 2
+    assert abs(loss_pp - loss_1) < 1e-5
+    for k in flat_pp:
+        np.testing.assert_allclose(flat_pp[k], flat_1[k], atol=1e-5)
+    # stage_layers layouts differ ([4,1,...] vs [1,4,...]); compare flattened
+    for a, b in zip(jax.tree.leaves(stages_pp), jax.tree.leaves(stages_1)):
+        np.testing.assert_allclose(a.reshape(b.shape), b, atol=1e-5)

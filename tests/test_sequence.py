@@ -101,3 +101,32 @@ def test_transformer_causality():
     seq2[0, 5] = 17  # padded position: must not affect the session vector
     h2 = np.asarray(encode(p, jnp.asarray(seq2), jnp.asarray(mask)))
     np.testing.assert_allclose(h1, h2, atol=1e-6)
+
+
+def test_moe_transformer_learns_deterministic_transitions(tmp_path):
+    # moe_experts > 0 swaps every FFN for a top-1-gated mixture of experts
+    # (ops/moe.py); the family must still learn the cyclic-successor rule and
+    # round-trip through save/load
+    rng = np.random.default_rng(2)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=0, max_len=5, batch_size=1024,
+                              epochs=20, n_negatives=10, learning_rate=5e-3,
+                              architecture="transformer", n_layers=2, n_heads=2,
+                              moe_experts=4)
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+
+    model.save(tmp_path / "moe.npz")
+    loaded = SequenceModel.load(tmp_path / "moe.npz", cfg)
+    np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))
