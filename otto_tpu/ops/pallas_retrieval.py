@@ -154,7 +154,11 @@ class PallasRetriever:
         (rounds * N/16384 per row) in ``rescore_dtype`` before the final
         top-k: the bf16 kernel then only *selects* the survivor pool, and the
         k winners are chosen by exact f32 scores — removing the bf16 scoring
-        error everywhere except stage-1 window-max elimination.
+        error everywhere except stage-1 window-max elimination.  Measured at
+        OTTO scale: recall-vs-f32 0.9875 → 0.9911, but the [B, 684]-row f32
+        re-gather costs ~6x the whole bf16 scan (26k vs 181k q/s) — when
+        r >= 0.99 is required, use :func:`otto_tpu.ops.retrieval.topk_hybrid`
+        (155k q/s at r = 0.997) instead.
 
         The whole search is ONE jitted program with the tables passed as
         arguments — callers must NOT wrap it in an outer ``jax.jit`` whose
