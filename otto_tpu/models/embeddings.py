@@ -347,7 +347,9 @@ def train_sgns(
     step = 0
 
     def epoch_groups(n_pairs: int) -> int:
-        return -(-max(n_pairs // B, 1) // G)
+        # must equal len(BatchLoader(..., G*B, drop_remainder=False)): the
+        # lr schedule, loss logging, and crash-resume replay all count on it
+        return -(-n_pairs // (G * B)) if n_pairs else 0
 
     if start_epoch:
         # replay the host RNG so pair sampling continues deterministically,
@@ -492,6 +494,11 @@ def embedding_knn_predictions(
                     neighbor_table, int(last[s]), k - len(uniq), set(uniq)
                 )
             else:
+                # no dedup against the session aids here — parity with the
+                # reference, whose non-recursive branch concatenates raw kNN
+                # rows (gensim_fasttext/inference.py:143-155:
+                # `predictions = session_unique_aids + nearest_neighbors`);
+                # only the recursive walk excludes them (:127-140)
                 nns = [int(a) for a in neighbor_table[int(last[s])] if a >= 0]
             row = (uniq + nns)[:k]
             preds[s, : len(row)] = row

@@ -100,8 +100,12 @@ def init_params(
 
 
 def _gru_cell(params, h, x):
-    gates = x @ params["gru_wx"] + h @ params["gru_wh"] + params["gru_b"]
     H = h.shape[-1]
+    # r/z gates use only the first 2H columns; the candidate gate needs r
+    # applied to h first, so computing the full 3H matmul would waste a third
+    # of the work in the sequential scan
+    gates = x @ params["gru_wx"][:, : 2 * H] + h @ params["gru_wh"][:, : 2 * H] \
+        + params["gru_b"][: 2 * H]
     r = jax.nn.sigmoid(gates[..., :H])
     z = jax.nn.sigmoid(gates[..., H : 2 * H])
     n = jnp.tanh(x @ params["gru_wx"][:, 2 * H :] + (r * h) @ params["gru_wh"][:, 2 * H :]
@@ -205,7 +209,10 @@ class SequenceModel:
         packed = store.pack(max_len=cfg.max_len, keep="last")
         seq = np.where(packed.mask, packed.aids, cfg.n_aids).astype(np.int32)
         out = np.zeros((store.n_sessions, cfg.dim), np.float32)
-        enc = jax.jit(lambda s, m: encode(self.params, s, m))
+        # params passed as a runtime arg: a closure-capturing lambda would be
+        # re-jitted per call AND bake the full item table into the executable
+        enc = jax.jit(encode)
+        params = self.params
         for start in range(0, store.n_sessions, batch):
             end = min(start + batch, store.n_sessions)
             s = seq[start:end]
@@ -214,7 +221,7 @@ class SequenceModel:
             if pad:
                 s = np.concatenate([s, np.full((pad, cfg.max_len), cfg.n_aids, np.int32)])
                 m = np.concatenate([m, np.zeros((pad, cfg.max_len), bool)])
-            out[start:end] = np.asarray(enc(jnp.asarray(s), jnp.asarray(m)))[: end - start]
+            out[start:end] = np.asarray(enc(params, jnp.asarray(s), jnp.asarray(m)))[: end - start]
         return out
 
     def full_sort_topk(self, store: EventStore, k: int = 20, batch: int = 4096) -> np.ndarray:
@@ -324,7 +331,9 @@ def train_sequence_model(
         for i in range(max(n // B, 1)):
             sel = order[i * B : (i + 1) * B]
             if len(sel) < B:
-                sel = np.concatenate([sel, sel[: B - len(sel)]])
+                # wrap (tiling as needed) so tiny datasets still fill a batch
+                reps = -(-B // max(len(sel), 1))
+                sel = np.tile(sel, reps)[:B]
             negs = rng.integers(0, config.n_aids, (B, config.n_negatives)).astype(np.int32)
             params, opt_state, loss = step(
                 params,

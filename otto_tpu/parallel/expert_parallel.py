@@ -55,7 +55,6 @@ def make_ep_moe_step(mesh: Mesh, optimizer, *, capacity: int,
 
     def step(params, opt_state, seq, mask, tgt, negs):
         specs = moe_recommender_specs(model_axis)
-        specs = {"item_emb": P(), "moe": specs["moe"]}
 
         def local(p, seq, mask, tgt, negs):
             emb = p["item_emb"][seq] * mask[:, :, None]  # [B, L, D]

@@ -278,7 +278,14 @@ def make_pp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int,
 
     def step(params, opt_state, seq, mask, tgt, negs):
         specs = pp_param_specs(params, model_axis)
-        per = int(np.shape(jax.tree.leaves(params["stage_layers"])[0])[1])
+        lead = np.shape(jax.tree.leaves(params["stage_layers"])[0])
+        if lead[0] != S:
+            raise ValueError(
+                f"stage_layers has {lead[0]} stages but the mesh's "
+                f"{model_axis!r} axis has {S} devices — call "
+                f"stack_pipeline_params(params, {S})"
+            )
+        per = int(lead[1])
 
         def local(p, seq, mask, tgt, negs):
             stage = jax.lax.axis_index(model_axis)

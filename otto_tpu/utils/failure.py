@@ -9,17 +9,19 @@ Here the training loop gets an explicit guard:
 - :class:`TrainingGuard` — wraps a :class:`~otto_tpu.utils.checkpoint.
   CheckpointManager`: checkpoints every ``save_every`` steps, and on a
   non-finite loss / state (TPU training's dominant soft failure — overflow,
-  bad batch, or a flipped bit) rolls back to the last good checkpoint,
-  optionally shrinking the learning-rate scale, and replays from there.
-  Hard failures (preemption, crash) resume the same way on restart via
-  ``manager.latest_step()`` — the guard's checkpoints double as the elastic
-  restart points.
+  bad batch, or a flipped bit) rolls back to the last good checkpoint and
+  replays from there.  A *deterministic* NaN (same batch order replayed)
+  recurs until ``max_rollbacks`` raises — reshuffle or skip the offending
+  batch after a rollback (``ok=False``).  Hard failures (preemption, crash)
+  resume the same way on restart via ``manager.latest_step()`` — the
+  guard's checkpoints double as the elastic restart points.
 
 Typical loop::
 
     guard = TrainingGuard(manager, save_every=100)
-    state = guard.resume(state)          # picks up after a crash
+    state, step = guard.resume(state)    # picks up after a crash
     while step < n_steps:
+        step += 1
         state2, loss = train_step(state, next_batch())
         state, step, ok = guard.observe(step, state2, loss)
         # on rollback: ok=False, state/step rewound; re-enter the loop

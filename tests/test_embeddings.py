@@ -235,3 +235,19 @@ def test_hs_training_learns_cluster_structure():
             d = np.linalg.norm(emb[a] - emb[b])
             (din if a // per == b // per else dout).append(d)
     assert np.mean(din) < 0.7 * np.mean(dout), (np.mean(din), np.mean(dout))
+
+
+def test_lr_schedule_group_count_matches_loader():
+    """The lr schedule's epoch_groups must equal the number of batches the
+    loader yields (regression: ceil(floor(n/B)/G) undercounted, skewing the
+    schedule and the crash-resume replay)."""
+    from otto_tpu.data.loader import BatchLoader
+
+    B, G = 8, 4
+    for n in (1, 7, 8, 31, 32, 33, 63, 64, 65, 96, 100):
+        data = (np.arange(n),)
+        loader = BatchLoader(data, G * B, drop_remainder=False)
+        expect = -(-n // (G * B))
+        got = len(loader)
+        loader.close()
+        assert got == expect, (n, got, expect)

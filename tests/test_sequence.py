@@ -130,3 +130,17 @@ def test_moe_transformer_learns_deterministic_transitions(tmp_path):
     model.save(tmp_path / "moe.npz")
     loaded = SequenceModel.load(tmp_path / "moe.npz", cfg)
     np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))
+
+
+def test_tiny_dataset_trains():
+    # regression: datasets smaller than batch_size/2 used to crash the
+    # batch-wrap (single-copy pad) with a shape mismatch
+    rng = np.random.default_rng(4)
+    S, L, N = 20, 4, 10
+    sess = np.repeat(np.arange(S), L)
+    aid = rng.integers(0, N, S * L)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+    cfg = SequenceModelConfig(n_aids=N, dim=8, hidden=8, max_len=4, batch_size=256,
+                              epochs=2, n_negatives=4)
+    model = train_sequence_model(es, cfg)
+    assert np.isfinite(model.history[-1]["loss"])
