@@ -97,6 +97,15 @@ def build_covisitation(
     packed = store.pack(max_len=T, keep="last")
     rel_ts = (packed.ts - t0).astype(np.int32)  # spans weeks, fits int32
     S = packed.n_sessions
+    plens = np.minimum(packed.lengths, T).astype(np.int64)
+
+    # length buckets: a session with <= t events travels as a [chunk, t]
+    # slice (pack left-aligns), shrinking the t^2 pair grid — and with it the
+    # per-row sort, the weight materialization, and HBM traffic — by ~(T/t)^2
+    # for the short-session majority.  Chunk order across buckets is
+    # irrelevant: the host merge re-reduces by key.
+    widths = [t for t in (8, 16) if t < T] + [T]
+    bucket_of = np.searchsorted(np.asarray(widths), plens)
 
     sharded_fn = None
     if mesh is not None:
@@ -106,20 +115,20 @@ def build_covisitation(
         chunk_sessions = -(-chunk_sessions // dsize) * dsize
         sharded_fn = make_sharded_pair_reduce(mesh, n_aids)
 
-    def dispatch(start: int):
-        """Launch one chunk's device work; returns fetch handles only."""
-        end = min(start + chunk_sessions, S)
-        a = packed.aids[start:end]
-        ty = packed.types[start:end]
-        rt = rel_ts[start:end]
-        mk = packed.mask[start:end]
+    def dispatch(idx: np.ndarray, t: int):
+        """Launch one chunk's device work (sessions ``idx`` at tail width
+        ``t``); returns fetch handles only."""
+        a = packed.aids[idx, :t]
+        ty = packed.types[idx, :t]
+        rt = rel_ts[idx, :t]
+        mk = packed.mask[idx, :t]
         if len(a) < chunk_sessions:
-            # pad to the fixed chunk shape: one compiled program per config
+            # pad to the fixed chunk shape: one compiled program per width
             pad = chunk_sessions - len(a)
-            a = np.concatenate([a, np.zeros((pad, T), a.dtype)])
-            ty = np.concatenate([ty, np.zeros((pad, T), ty.dtype)])
-            rt = np.concatenate([rt, np.zeros((pad, T), rt.dtype)])
-            mk = np.concatenate([mk, np.zeros((pad, T), bool)])
+            a = np.concatenate([a, np.zeros((pad, t), a.dtype)])
+            ty = np.concatenate([ty, np.zeros((pad, t), ty.dtype)])
+            rt = np.concatenate([rt, np.zeros((pad, t), rt.dtype)])
+            mk = np.concatenate([mk, np.zeros((pad, t), bool)])
         args = (
             jnp.asarray(a), jnp.asarray(ty), jnp.asarray(rt), jnp.asarray(mk),
         )
@@ -133,8 +142,8 @@ def build_covisitation(
         kx, ky, weights = pair_stream(*args, n_aids, *tail)
         cs = len(a)
         sx, sy, totals, live = sort_reduce_rows(
-            kx.reshape(cs, T * T), ky.reshape(cs, T * T),
-            weights.reshape(cs, T * T, -1),
+            kx.reshape(cs, t * t), ky.reshape(cs, t * t),
+            weights.reshape(cs, t * t, -1),
         )
         # device-side compaction: fetch only ~live rows over the host link.
         # The buffer size comes from a host-side upper bound on the live
@@ -182,10 +191,12 @@ def build_covisitation(
 
     lookahead = 4
     inflight: deque = deque()
-    for start in range(0, S, chunk_sessions):
-        inflight.append(dispatch(start))
-        if len(inflight) > lookahead:
-            drain(inflight.popleft())
+    for bi, t in enumerate(widths):
+        idx_all = np.flatnonzero(bucket_of == bi)
+        for start in range(0, len(idx_all), chunk_sessions):
+            inflight.append(dispatch(idx_all[start : start + chunk_sessions], t))
+            if len(inflight) > lookahead:
+                drain(inflight.popleft())
     while inflight:
         drain(inflight.popleft())
 
