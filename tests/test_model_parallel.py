@@ -247,3 +247,15 @@ def test_pp_moe_transformer_matches_matched_groups():
     # stage_layers layouts differ ([4,1,...] vs [1,4,...]); compare flattened
     for a, b in zip(jax.tree.leaves(stages_pp), jax.tree.leaves(stages_1)):
         np.testing.assert_allclose(a.reshape(b.shape), b, atol=1e-5)
+
+
+def test_tp_remat_matches_single_device(setup):
+    """remat=True (jax.checkpoint around each block) must not change the
+    math — same loss and post-step params as the stored-activation path."""
+    params, batch, opt, oloss, oparams = setup
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    p = shard_params(mesh, _copy(params), tp_param_specs(params))
+    step = make_tp_sequence_step(mesh, opt, remat=True)
+    p2, _, loss = step(p, opt.init(p), *batch)
+    assert abs(float(loss) - oloss) < 1e-5
+    assert _max_leaf_diff(p2, oparams) < 1e-5
