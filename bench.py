@@ -149,6 +149,23 @@ def main():
     tower_dt = timed_chain(tower_step, feats, iters=20)
     cands_per_sec = TOWER_BATCH * TOWER_C / tower_dt
 
+    # roofline accounting (utils/roofline.py) under the documented traffic
+    # model: the hybrid path sweeps the f32 table once per 256-query tile
+    # (B/tile sweeps per batch) and runs B x N x D bf16->f32 MXU macs; the
+    # aggregation reads the [B, ~N/374] reduced maxima once more (negligible)
+    from otto_tpu.utils.roofline import roofline
+
+    n_tiles = QUERY_BATCH // 256
+    table_bytes = N_ITEMS * DIM * 4
+    rl = {}
+    if hybrid_qps > 0:
+        rl = roofline(
+            QUERY_BATCH / hybrid_qps,
+            hbm_bytes=n_tiles * table_bytes,
+            bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
+            device=dev,
+        )
+
     # headline: fastest path whose measured recall vs the exact f32 scan is
     # >= 0.99 (partialreduce and hybrid qualify; the bf16 pallas-fused path is
     # reported alongside at ~0.987-vs-f32 / 0.996-vs-bf16)
@@ -168,6 +185,7 @@ def main():
                 "exact_knn_qps": round(exact_qps, 1),
                 "cpu_exact_qps_est": round(cpu_qps, 1),
                 "ranker_candidates_scored_per_s": round(cands_per_sec, 1),
+                "hybrid_roofline": rl,
             }
         )
     )
