@@ -5,9 +5,15 @@ weighted recall@20."""
 import sys as _sys, pathlib as _pathlib
 _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
 
+import jax
+
+# default to CPU: the axon TPU plugin force-registers itself in every process
+# (env JAX_PLATFORMS=cpu is NOT enough); pass --tpu to run on the chip
+if "--tpu" not in _sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 from otto_tpu.config import CovisitConfig, GBDTConfig, RankerConfig, SGNSConfig
 from otto_tpu.data import splits, synthetic_events
-from otto_tpu.eval import evaluate_predictions
 from otto_tpu.logging_utils import configure_logging
 from otto_tpu.pipelines import (
     run_aid_frequency,
@@ -37,10 +43,13 @@ rows.append(("tfidf", run_tfidf(sp.train, sp.val_input, N, sp.val_labels).report
 rows.append(("doc2vec", run_doc2vec(sp.train, sp.val_input, N, sp.val_labels).report))
 rows.append(("embedding_knn", run_embedding_knn(sp.train, sp.val_input, N, sp.val_labels).report))
 rows.append(("sequence (gru)", run_sequence(sp.train, sp.val_input, N, sp.val_labels).report))
+_cfg_dir = _pathlib.Path(__file__).resolve().parent.parent / "configs"
 rows.append(("sequence (transformer)", run_sequence(
     sp.train, sp.val_input, N, sp.val_labels,
-    config_path=str(_pathlib.Path(__file__).resolve().parent.parent
-                    / "configs" / "sequence_transformer.yaml")).report))
+    config_path=str(_cfg_dir / "sequence_transformer.yaml")).report))
+rows.append(("sequence (moe transformer)", run_sequence(
+    sp.train, sp.val_input, N, sp.val_labels,
+    config_path=str(_cfg_dir / "sequence_moe.yaml")).report))
 art = run_two_stage(
     sp.train, sp.val_input, N, labels=sp.val_labels,
     covisit_config=CovisitConfig(top_k_wide=20, session_tail=30),

@@ -12,6 +12,13 @@ Run: python examples/06_serving.py [artifact_dir]
 import sys as _sys, pathlib as _pathlib
 _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
 
+import jax
+
+# default to CPU: the axon TPU plugin force-registers itself in every process
+# (env JAX_PLATFORMS=cpu is NOT enough); pass --tpu to run on the chip
+if "--tpu" not in _sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import tempfile
 import time
 

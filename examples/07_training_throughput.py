@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from otto_tpu.config import CFConfig, GBDTConfig, RankerConfig, SequenceModelConfig, SGNSConfig
+from otto_tpu.config import CFConfig, GBDTConfig, SequenceModelConfig, SGNSConfig
 from otto_tpu.data import synthetic_events
 from otto_tpu.logging_utils import configure_logging
 from otto_tpu.utils.runtime import enable_compilation_cache

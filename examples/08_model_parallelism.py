@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from otto_tpu.config import MeshConfig, SequenceModelConfig
+from otto_tpu.config import MeshConfig
 from otto_tpu.data.synthetic import synthetic_events
 from otto_tpu.models.sequence import _training_examples, init_params
 from otto_tpu.parallel.data_parallel import make_dp_sequence_step

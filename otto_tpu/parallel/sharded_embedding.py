@@ -11,8 +11,6 @@ gathered candidates (the classic distributed top-k merge).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
