@@ -53,9 +53,13 @@ def moe_apply(p, x, *, capacity: int, model_axis: str | None = "model",
     are local and no collective is issued.  ``token_mask`` [T] bool marks
     real tokens — padding never occupies an expert's capacity.
 
-    Each local expert gathers its top-``capacity`` assigned tokens with a
-    one-hot dispatch matmul, applies its FFN, and scatters back weighted by
-    the gate probability."""
+    Each local expert takes its top-``capacity`` assigned tokens by gate
+    score (a [C]-row gather — top_k slots are distinct, so the combining
+    scatter-add has no collisions), applies its FFN, and scatters back
+    weighted by the gate probability.  Empty slots carry weight 0 and add
+    nothing.  (A dense one-hot dispatch matmul is the classic formulation
+    but materializes [C, T] — O(GB) per expert at transformer token counts;
+    the gather/scatter form is O(C*D).)"""
     T, D = x.shape
     capacity = min(capacity, T)
     e_loc = p["w1"].shape[0]
@@ -71,10 +75,9 @@ def moe_apply(p, x, *, capacity: int, model_axis: str | None = "model",
         score = jnp.where((assign == ge) & (top_p > 0), top_p, -1.0)
         val, idx = jax.lax.top_k(score, capacity)  # this expert's tokens
         w = jnp.where(val > 0, val, 0.0)  # gate weight; 0 for empty slots
-        disp = jax.nn.one_hot(idx, T, dtype=x.dtype) * (w > 0)[:, None]  # [C, T]
-        xe = disp @ x  # [C, D] gathered tokens (MXU dispatch)
+        xe = jnp.take(x, idx, axis=0)  # [C, D] dispatch gather
         he = jax.nn.gelu(xe @ p["w1"][e] + p["b1"][e]) @ p["w2"][e]
-        out = out + disp.T @ (he * w[:, None])  # combine
+        out = out.at[idx].add(he * w[:, None])  # combine
     if model_axis is not None:
         out = jax.lax.psum(out, model_axis)
     return out + p["b2"]
