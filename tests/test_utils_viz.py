@@ -165,3 +165,30 @@ def test_checkpoint_resume_mid_training_with_optimizer_state(tmp_path):
     for _ in range(3):
         p2, s2 = step(p2, s2, x, y)
     np.testing.assert_allclose(np.asarray(p2["w"]), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_profiler_trace_writes_directory(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from otto_tpu.utils.profiling import trace
+
+    d = tmp_path / "trace"
+    with trace(d):
+        jnp.sum(jnp.arange(16.0)).block_until_ready()
+    files = list(d.rglob("*"))
+    assert files, "profiler trace produced no files"
+
+
+def test_batch_loader_transform_hook():
+    import numpy as np
+
+    from otto_tpu.data.loader import BatchLoader
+
+    table = np.arange(100) * 10
+    data = (np.arange(20),)
+    loader = BatchLoader(data, 5, transform=lambda b: (b, table[b]))
+    batches = list(loader)
+    assert len(batches) == 4
+    for idx, looked_up in batches:
+        np.testing.assert_array_equal(np.asarray(looked_up), np.asarray(idx) * 10)
