@@ -271,7 +271,7 @@ def pp_param_specs(params, model_axis: str = "model"):
     }
 
 
-def make_pp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int,
+def make_pp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int, remat: bool = False,
                           data_axis: str = "data", model_axis: str = "model"):
     """GPipe pipeline-parallel training step: the ``model`` axis is the
     pipeline, each device owns ``n_layers/S`` transformer layers; the local
@@ -325,8 +325,9 @@ def make_pp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int,
                 x_in = jnp.where(stage == 0, embed(s_m, k_m), buf)
                 attn_ok = causal[None] & k_m[:, None, :]
                 h = x_in
+                block = jax.checkpoint(transformer_block) if remat else transformer_block
                 for j in range(per):
-                    h = transformer_block(jax.tree.map(lambda a: a[j], sl), h, attn_ok)
+                    h = block(jax.tree.map(lambda a: a[j], sl), h, attn_ok)
                 hx = _layer_norm(p["final_ln"], h)
                 lastpos = jnp.maximum(jnp.sum(k_m, axis=1) - 1, 0)
                 h_last = jnp.take_along_axis(hx, lastpos[:, None, None], axis=1)[:, 0]

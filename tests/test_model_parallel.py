@@ -259,3 +259,14 @@ def test_tp_remat_matches_single_device(setup):
     p2, _, loss = step(p, opt.init(p), *batch)
     assert abs(float(loss) - oloss) < 1e-5
     assert _max_leaf_diff(p2, oparams) < 1e-5
+
+
+def test_pp_remat_matches_single_device(setup):
+    params, batch, opt, oloss, oparams = setup
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    stacked = stack_pipeline_params(params, 4)
+    p = shard_params(mesh, _copy(stacked), pp_param_specs(stacked))
+    step = make_pp_sequence_step(mesh, opt, n_micro=2, remat=True)
+    p2, _, loss = step(p, opt.init(p), *batch)
+    assert abs(float(loss) - oloss) < 1e-5
+    assert _max_leaf_diff(p2, stack_pipeline_params(oparams, 4)) < 1e-5
