@@ -28,6 +28,23 @@ def make_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(arr, (config.data_axis, config.model_axis))
 
 
+def make_mesh3d(data_parallel: int, pipeline_parallel: int, tensor_parallel: int,
+                devices=None,
+                axes: tuple[str, str, str] = ("data", "pipe", "model")) -> Mesh:
+    """Three-axis mesh for composed data x pipeline x tensor parallelism
+    (parallel/model_parallel.py::make_pp_tp_sequence_step).  Axis order puts
+    tensor parallelism innermost — on hardware the fastest-varying mesh axis
+    maps to the tightest ICI neighborhood, where tp's per-layer psums live."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data_parallel * pipeline_parallel * tensor_parallel
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {data_parallel}x{pipeline_parallel}x{tensor_parallel} "
+            f"needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data_parallel, pipeline_parallel, tensor_parallel)
+    return Mesh(arr, axes)
+
+
 def init_distributed() -> None:
     """Multi-host process-group init (jax.distributed over DCN).  No-op when
     running single-process (the common case in tests and on one host)."""

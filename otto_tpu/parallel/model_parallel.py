@@ -70,44 +70,47 @@ def _on_shard0(loss, model_axis):
 # tensor parallelism (+ optional sequence parallelism)
 # --------------------------------------------------------------------------
 
+def _ln_spec():
+    return {"scale": P(), "bias": P()}
+
+
+def _tp_layer_spec(layer, model_axis: str):
+    """Megatron-style PartitionSpecs for one transformer layer's params:
+    wq/wk/wv shard on the head axis, wo on its (head-major) input rows,
+    ffn_w1/b1 on the hidden columns, ffn_w2 on the hidden rows (or, for MoE
+    layers, experts shard over the axis — expert parallelism)."""
+    spec = {
+        "wq": P(None, model_axis, None),
+        "wk": P(None, model_axis, None),
+        "wv": P(None, model_axis, None),
+        "wo": P(model_axis, None),
+        "ln1": _ln_spec(),
+        "ln2": _ln_spec(),
+    }
+    if "moe" in layer:
+        from otto_tpu.ops.moe import moe_param_specs
+
+        spec["moe"] = moe_param_specs(model_axis)
+    else:
+        spec.update(
+            ffn_w1=P(None, model_axis),
+            ffn_b1=P(model_axis),
+            ffn_w2=P(model_axis, None),
+            ffn_b2=P(),
+        )
+    return spec
+
+
 def tp_param_specs(params, model_axis: str = "model"):
     """PartitionSpec pytree for ``models.sequence.init_params`` transformer
-    params under Megatron-style tensor parallelism: wq/wk/wv shard on the
-    head axis, wo on its (head-major) input rows, ffn_w1/b1 on the hidden
-    columns, ffn_w2 on the hidden rows (or, for MoE layers, experts shard
-    over the axis — expert parallelism); everything else replicates."""
-
-    def ln():
-        return {"scale": P(), "bias": P()}
-
-    def layer_spec(layer):
-        spec = {
-            "wq": P(None, model_axis, None),
-            "wk": P(None, model_axis, None),
-            "wv": P(None, model_axis, None),
-            "wo": P(model_axis, None),
-            "ln1": ln(),
-            "ln2": ln(),
-        }
-        if "moe" in layer:
-            from otto_tpu.ops.moe import moe_param_specs
-
-            spec["moe"] = moe_param_specs(model_axis)
-        else:
-            spec.update(
-                ffn_w1=P(None, model_axis),
-                ffn_b1=P(model_axis),
-                ffn_w2=P(model_axis, None),
-                ffn_b2=P(),
-            )
-        return spec
-
+    params under Megatron-style tensor parallelism (see
+    :func:`_tp_layer_spec`); embeddings / head / norms replicate."""
     return {
         "item_emb": P(),
         "pos_emb": P(),
         "out_proj": P(),
-        "final_ln": ln(),
-        "layers": [layer_spec(l) for l in params["layers"]],
+        "final_ln": _ln_spec(),
+        "layers": [_tp_layer_spec(l, model_axis) for l in params["layers"]],
     }
 
 
@@ -344,6 +347,133 @@ def make_pp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int, remat: bool = 
                 mesh=mesh,
                 in_specs=(specs, P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
                 out_specs=P(data_axis, model_axis),
+                check_vma=False,
+            )(p, seq, mask, tgt, negs)
+            return jnp.sum(out) / dp
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+# --------------------------------------------------------------------------
+# 3D parallelism: data x pipeline x tensor composed in one step
+# --------------------------------------------------------------------------
+
+def pp_tp_param_specs(params, pipe_axis: str = "pipe", model_axis: str = "model"):
+    """Spec tree for :func:`stack_pipeline_params` output under combined
+    pipeline + tensor parallelism: the stage axis shards over ``pipe`` and,
+    within each stage, every layer tensor shards over ``model`` per
+    :func:`_tp_layer_spec` (two leading stacked axes: stage, layer-in-stage).
+    Embeddings and the loss head replicate on every device."""
+    lspec = _tp_layer_spec(params["stage_layers"], model_axis)
+    return {
+        "item_emb": P(),
+        "pos_emb": P(),
+        "out_proj": P(),
+        "final_ln": _ln_spec(),
+        "stage_layers": jax.tree.map(
+            lambda s: P(pipe_axis, None, *s), lspec,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    }
+
+
+def make_pp_tp_sequence_step(mesh: Mesh, optimizer, *, n_micro: int,
+                             sequence_parallel: bool = False, remat: bool = False,
+                             data_axis: str = "data", pipe_axis: str = "pipe",
+                             model_axis: str = "model"):
+    """3D-parallel training step: batches shard over ``data``, transformer
+    stages pipeline over ``pipe`` (GPipe microbatch schedule, ``ppermute``
+    hops), and within every stage attention heads / FFN hidden shard over
+    ``model`` (Megatron tensor parallelism, optional sequence parallelism).
+    This is the composition a real pod runs: tp inside a chip cluster where
+    ICI is fastest, pp across clusters, dp across replicas — the reference
+    (single GPU, SURVEY 2.10) has no analog.
+
+    Params use :func:`stack_pipeline_params` + :func:`pp_tp_param_specs`;
+    gradients for replicated leaves sum over all three axes through the
+    shard_map transpose.  Returns ``step(params, opt_state, seq, mask, tgt,
+    negs) -> (params, opt_state, loss)``."""
+    S = mesh.shape[pipe_axis]
+    mp = mesh.shape[model_axis]
+    dp = mesh.shape[data_axis]
+    sp = sequence_parallel and mp > 1
+
+    def step(params, opt_state, seq, mask, tgt, negs):
+        specs = pp_tp_param_specs(params, pipe_axis, model_axis)
+        lead = np.shape(jax.tree.leaves(params["stage_layers"])[0])
+        if lead[0] != S:
+            raise ValueError(
+                f"stage_layers has {lead[0]} stages but the mesh's "
+                f"{pipe_axis!r} axis has {S} devices — call "
+                f"stack_pipeline_params(params, {S})"
+            )
+        per = int(lead[1])
+
+        def local(p, seq, mask, tgt, negs):
+            stage = jax.lax.axis_index(pipe_axis)
+            sl = jax.tree.map(lambda a: a[0], p["stage_layers"])  # my stage
+            b_loc, L = seq.shape
+            if b_loc % n_micro:
+                raise ValueError(f"local batch {b_loc} not divisible by n_micro={n_micro}")
+            if sp and L % mp:
+                raise ValueError(f"sequence_parallel needs L ({L}) % mp ({mp}) == 0")
+            mbs = b_loc // n_micro
+            l_loc = L // mp if sp else L
+            seqs = seq.reshape(n_micro, mbs, L)
+            masks = mask.reshape(n_micro, mbs, L)
+            tgts = tgt.reshape(n_micro, mbs)
+            negss = negs.reshape(n_micro, mbs, -1)
+            D = p["pos_emb"].shape[1]
+            causal = jnp.tril(jnp.ones((L, L), bool))
+
+            def embed(s, m):
+                x = p["item_emb"][s] + p["pos_emb"][None, :L]
+                x = jnp.where(m[:, :, None], x, 0.0)
+                if sp:
+                    mi = jax.lax.axis_index(model_axis)
+                    x = jax.lax.dynamic_slice_in_dim(x, mi * l_loc, l_loc, axis=1)
+                return x
+
+            block = _tp_block
+            if remat:
+                block = jax.checkpoint(_tp_block, static_argnums=(3, 4))
+
+            buf = jnp.zeros((mbs, l_loc, D), p["pos_emb"].dtype)
+            loss_acc = jnp.zeros((), jnp.float32)
+            for t in range(n_micro + S - 1):
+                m_idx = t - stage
+                m_c = jnp.clip(m_idx, 0, n_micro - 1)
+                s_m, k_m = seqs[m_c], masks[m_c]
+                x_in = jnp.where(stage == 0, embed(s_m, k_m), buf)
+                attn_ok = causal[None] & k_m[:, None, :]
+                h = x_in
+                for j in range(per):
+                    h = block(jax.tree.map(lambda a, j=j: a[j], sl), h,
+                              attn_ok, model_axis, sp)
+                hx = h
+                if sp:
+                    hx = jax.lax.all_gather(hx, model_axis, axis=1, tiled=True)
+                hx = _layer_norm(p["final_ln"], hx)
+                lastpos = jnp.maximum(jnp.sum(k_m, axis=1) - 1, 0)
+                h_last = jnp.take_along_axis(hx, lastpos[:, None, None], axis=1)[:, 0]
+                mb_loss = _sampled_softmax(h_last @ p["out_proj"], p["item_emb"],
+                                           tgts[m_c], negss[m_c])
+                use = (stage == S - 1) & (m_idx >= 0) & (m_idx < n_micro)
+                loss_acc = loss_acc + jnp.where(use, mb_loss, 0.0)
+                buf = jax.lax.ppermute(h, pipe_axis, [(i, (i + 1) % S) for i in range(S)])
+            loss = _on_shard0(loss_acc / n_micro, model_axis)
+            return loss.reshape(1, 1, 1)
+
+        def loss_fn(p):
+            out = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(specs, P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+                out_specs=P(data_axis, pipe_axis, model_axis),
                 check_vma=False,
             )(p, seq, mask, tgt, negs)
             return jnp.sum(out) / dp

@@ -261,6 +261,44 @@ def test_tp_remat_matches_single_device(setup):
     assert _max_leaf_diff(p2, oparams) < 1e-5
 
 
+@pytest.mark.parametrize("dp,pp,tp,sp,n_micro", [
+    (2, 2, 2, False, 2),   # the full 3D composition
+    (1, 2, 4, True, 2),    # tensor+sequence parallel inside each stage
+    (1, 4, 2, False, 4),   # deep pipeline, 1 layer/stage
+])
+def test_3d_matches_single_device(setup, dp, pp, tp, sp, n_micro):
+    """data x pipeline x tensor composed in one step must reproduce the
+    single-device oracle exactly (same math, f32 rounding)."""
+    from otto_tpu.parallel.mesh import make_mesh3d
+    from otto_tpu.parallel.model_parallel import (
+        make_pp_tp_sequence_step, pp_tp_param_specs)
+
+    params, batch, opt, oloss, oparams = setup
+    mesh = make_mesh3d(dp, pp, tp)
+    stacked = stack_pipeline_params(params, pp)
+    p = shard_params(mesh, _copy(stacked), pp_tp_param_specs(stacked))
+    step = make_pp_tp_sequence_step(mesh, opt, n_micro=n_micro,
+                                    sequence_parallel=sp)
+    p2, _, loss = step(p, opt.init(p), *batch)
+    assert abs(float(loss) - oloss) < 1e-5
+    assert _max_leaf_diff(p2, stack_pipeline_params(oparams, pp)) < 1e-5
+
+
+def test_3d_remat_matches_single_device(setup):
+    from otto_tpu.parallel.mesh import make_mesh3d
+    from otto_tpu.parallel.model_parallel import (
+        make_pp_tp_sequence_step, pp_tp_param_specs)
+
+    params, batch, opt, oloss, oparams = setup
+    mesh = make_mesh3d(2, 2, 2)
+    stacked = stack_pipeline_params(params, 2)
+    p = shard_params(mesh, _copy(stacked), pp_tp_param_specs(stacked))
+    step = make_pp_tp_sequence_step(mesh, opt, n_micro=2, remat=True)
+    p2, _, loss = step(p, opt.init(p), *batch)
+    assert abs(float(loss) - oloss) < 1e-5
+    assert _max_leaf_diff(p2, stack_pipeline_params(oparams, 2)) < 1e-5
+
+
 def test_pp_remat_matches_single_device(setup):
     params, batch, opt, oloss, oparams = setup
     mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
