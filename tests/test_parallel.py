@@ -167,6 +167,57 @@ def test_dp_sequence_step_matches_single_device():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_zero_sequence_step_matches_dp():
+    """ZeRO-1 (optimizer state sharded over the data axis) is the same math
+    as plain replicated-state DP: identical losses and params over several
+    Adam steps, while the stored state is 1/dp per device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from otto_tpu.config import MeshConfig
+    from otto_tpu.models.sequence import init_params
+    from otto_tpu.parallel.data_parallel import (
+        make_dp_sequence_step, make_zero_sequence_step, zero_init)
+    from otto_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    params = init_params(jax.random.PRNGKey(0), 40, 16, 8,
+                         architecture="transformer", max_len=6,
+                         n_layers=2, n_heads=2)
+    optimizer = optax.adamw(1e-2)
+    rng = np.random.default_rng(1)
+    B, L, NEG = 16, 6, 4
+
+    def batch(i):
+        r = np.random.default_rng(i)
+        return (jnp.asarray(r.integers(0, 40, (B, L)).astype(np.int32)),
+                jnp.asarray(np.ones((B, L), bool)),
+                jnp.asarray(r.integers(0, 40, B).astype(np.int32)),
+                jnp.asarray(r.integers(0, 40, (B, NEG)).astype(np.int32)))
+
+    dstep = make_dp_sequence_step(mesh, optimizer)
+    zstep = make_zero_sequence_step(mesh, optimizer)
+    pd = jax.tree.map(jnp.copy, params)
+    pz = jax.tree.map(jnp.copy, params)
+    sd = optimizer.init(pd)
+    sz = zero_init(mesh, optimizer, pz)
+
+    # sharded state is 1/dp of the replicated state (plus per-shard scalars)
+    n_rep = sum(x.size for x in jax.tree.leaves(sd))
+    n_sh = sum(int(np.prod(x.shape[1:])) for x in jax.tree.leaves(sz))
+    assert n_sh <= n_rep / 8 + len(jax.tree.leaves(sz))
+
+    for i in range(3):
+        b = batch(i)
+        pd, sd, ld = dstep(pd, sd, *b)
+        pz, sz, lz = zstep(pz, sz, *b)
+        assert abs(float(ld) - float(lz)) < 1e-5, i
+    for a, b in zip(jax.tree.leaves(pd), jax.tree.leaves(pz)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_ranker_mesh_predict_matches_single_device():
     """mesh= predict shards batches over the data axis and matches the
     single-device fold-averaged scores."""
