@@ -102,6 +102,30 @@ stacked = stack_pipeline_params(params0, 4)
 p = shard_params(mesh, fresh(stacked), pp_param_specs(stacked))
 results["pp"] = train("pp", make_pp_sequence_step(mesh, opt, n_micro=4), p)
 
+from otto_tpu.parallel.data_parallel import make_zero_sequence_step, zero_init
+from otto_tpu.parallel.mesh import make_mesh3d
+from otto_tpu.parallel.model_parallel import (
+    make_pp_tp_sequence_step, pp_tp_param_specs)
+
+# ZeRO-1: same math as dp with the optimizer state sharded 8 ways
+p = fresh(params0)
+zstep = make_zero_sequence_step(mesh, opt)
+st = zero_init(mesh, opt, p)
+first = last = None
+for i, batch in enumerate(batches):
+    p, st, loss = zstep(p, st, *batch)
+    first = float(loss) if i == 0 else first
+    last = float(loss)
+print(f"{'zero-1':8s} loss {first:.4f} -> {last:.4f}")
+results["zero"] = last
+
+# 3D: data(2) x pipeline(2) x tensor(2) composed in one step
+mesh3 = make_mesh3d(2, 2, 2)
+stacked3 = stack_pipeline_params(params0, 2)
+p = shard_params(mesh3, fresh(stacked3), pp_tp_param_specs(stacked3))
+results["3d"] = train(
+    "3d", make_pp_tp_sequence_step(mesh3, opt, n_micro=4, sequence_parallel=True), p)
+
 moe0 = init_moe_recommender(jax.random.PRNGKey(1), V, D, 4 * D, 8)
 p = shard_params(mesh, fresh(moe0), moe_recommender_specs())
 ep_step = make_ep_moe_step(mesh, opt, capacity=B)
@@ -116,9 +140,9 @@ for i, batch in enumerate(ep_batches):
 print(f"{'ep(moe)':8s} loss {first:.4f} -> {last:.4f}")
 results["ep"] = last
 
-# dp/tp/tp+sp/pp run the *same* model and should land in the same loss band
-vals = [results[k] for k in ("dp", "tp", "tp+sp", "pp")]
+# dp/tp/tp+sp/pp/zero/3d run the *same* model and should land in the same band
+vals = [results[k] for k in ("dp", "tp", "tp+sp", "pp", "zero", "3d")]
 spread = max(vals) - min(vals)
-print(f"\ndp/tp/sp/pp final-loss spread: {spread:.4f} (same objective, same init)")
+print(f"\ndp/tp/sp/pp/zero/3d final-loss spread: {spread:.4f} (same objective, same init)")
 assert spread < 0.05, "parallel strategies diverged on identical training"
 print("OK: every parallelism strategy optimizes the same objective")

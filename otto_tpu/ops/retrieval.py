@@ -103,8 +103,10 @@ def build_neighbor_table(
     PartialReduce + pallas peel aggregation, f32 scores, fastest r>=0.99
     path), "approx" (PartialReduce + XLA aggregation), "pallas" (fused
     packed windowed-max kernel over a bf16 table,
-    :mod:`otto_tpu.ops.pallas_retrieval`); ``exact=True`` overrides with the
-    exact blocked scan.
+    :mod:`otto_tpu.ops.pallas_retrieval`), "int8" (hybrid over a
+    per-row-quantized int8 table — 1/4 the HBM traffic, 2x the MXU MAC
+    rate, ~1/127-relative score rounding); ``exact=True`` overrides with
+    the exact blocked scan.
     """
     n = embeddings.shape[0]
     fetch = k + 1 if exclude_self else k
@@ -112,6 +114,9 @@ def build_neighbor_table(
     out_s = np.empty((n, k), np.float32) if scores_out else None
     items = jnp.asarray(embeddings)
     retriever = None
+    q8table = None
+    if backend == "int8" and not exact:
+        q8table = quantize_items_int8(items)
     if backend == "pallas" and not exact:
         from otto_tpu.ops.pallas_retrieval import PallasRetriever
 
@@ -129,6 +134,9 @@ def build_neighbor_table(
             s, i = topk_scan(q, items, k=fetch, block=block, metric=metric)
         elif retriever is not None:
             s, i = retriever.topk(q, k=fetch)
+        elif q8table is not None:
+            s, i = topk_hybrid_int8(q, *q8table, k=fetch, metric=metric,
+                                    tile=min(256, query_batch))
         elif backend == "hybrid":
             s, i = topk_hybrid(q, items, k=fetch, metric=metric,
                                tile=min(256, query_batch))
@@ -207,8 +215,89 @@ def topk_hybrid(queries: jax.Array, items: jax.Array, k: int, tile: int = 256,
     if pad_l:
         rs = jnp.concatenate([rs, jnp.full((b_all, pad_l), NEG, rs.dtype)], axis=1)
     rounds = min(rounds, k)
-    if rounds * ((l + pad_l) // 128) < k or b_all % 32:
+    # The peel aggregation relies on approx_max_k's TPU PartialReduce layout
+    # (window maxima scattered across 128-lane windows).  The CPU fallback
+    # returns globally *sorted* values — every top hit in window 0 — which
+    # the per-window peel cannot recover; interpret mode takes plain top_k.
+    if interpret or rounds * ((l + pad_l) // 128) < k or b_all % 32:
         top_s, pos = jax.lax.top_k(rs, k)  # degenerate shapes: plain sort
+    else:
+        vals, cols = peel_rows(rs, rounds, row_block=32, interpret=interpret)
+        neg_keys, pos_sorted = jax.lax.sort_key_val(-vals, cols, dimension=1)
+        top_s = -neg_keys[:, :k]
+        pos = pos_sorted[:, :k]
+    top_i = jnp.take_along_axis(ri, jnp.minimum(pos, l - 1), axis=1)
+    top_i = jnp.where(top_s > NEG / 2, top_i, -1)
+    return top_s[:B], top_i[:B]
+
+
+def quantize_items_int8(items):
+    """Per-row symmetric int8 quantization of the item table: returns
+    ``(q8 [N, D] int8, scale [N] float32, sq [N] float32)`` with
+    ``x[i] ≈ q8[i] * scale[i]`` and ``sq[i] = ||x[i]||^2`` kept exact in
+    float32 (for euclidean ranking).  Quarters the table's HBM footprint vs
+    float32 (halves vs bfloat16) and moves the scoring matmul onto the MXU's
+    int8 path (2x the bf16 MAC rate on v5e)."""
+    x = jnp.asarray(items, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-30) / 127.0
+    q8 = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q8, scale, jnp.sum(x * x, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "tile", "metric", "recall_target",
+                                   "rounds", "interpret"))
+def topk_hybrid_int8(queries: jax.Array, q8: jax.Array, scale: jax.Array,
+                     sq: jax.Array, k: int, tile: int = 256,
+                     metric: str = "dot", recall_target: float = 0.99,
+                     rounds: int = 6, interpret: bool | None = None):
+    """:func:`topk_hybrid` over an int8-quantized item table (from
+    :func:`quantize_items_int8`).  Queries quantize per-row on the fly; the
+    int8xint8->int32 tile matmul rescales to float32 as
+    ``s = (q8_q . q8_x) * scale_q * scale_x`` (dot) or ``2 s - ||x||^2``
+    (euclidean, exact f32 norms).  Ranking error is the product-quantization
+    rounding (~1/127 relative per side); measured recall ~0.97-0.99 vs the
+    exact f32 scan at OTTO scale — use where retrieval feeds a voting /
+    reranking stage that absorbs tail swaps (every consumer in this
+    framework does)."""
+    from otto_tpu.ops.row_topk import peel_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs a TPU
+    B, D = queries.shape
+    pad_q = (-B) % tile
+    q = jnp.asarray(queries, jnp.float32)
+    if pad_q:
+        q = jnp.concatenate([q, jnp.zeros((pad_q, D), q.dtype)], axis=0)
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-30) / 127.0
+    q8q = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    tiles = q8q.reshape(-1, tile, D)
+    tile_qs = qs.reshape(-1, tile)
+
+    def one_tile(carry, inp):
+        qt, qst = inp
+        s32 = jax.lax.dot_general(
+            qt, q8.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * (qst[:, None] * scale[None, :])
+        if metric == "euclidean":
+            s = 2.0 * s - sq[None, :]
+        rs, ri = jax.lax.approx_max_k(s, k, recall_target=recall_target,
+                                      aggregate_to_topk=False)
+        return carry, (rs, ri.astype(jnp.int32))
+
+    _, (rs, ri) = jax.lax.scan(one_tile, 0, (tiles, tile_qs))
+    l = rs.shape[-1]
+    rs = rs.reshape(-1, l)
+    ri = ri.reshape(-1, l)
+    b_all = rs.shape[0]
+    pad_l = (-l) % 128
+    if pad_l:
+        rs = jnp.concatenate([rs, jnp.full((b_all, pad_l), NEG, rs.dtype)], axis=1)
+    rounds = min(rounds, k)
+    # see topk_hybrid: the CPU approx_max_k fallback is sorted, peel is not
+    # applicable there
+    if interpret or rounds * ((l + pad_l) // 128) < k or b_all % 32:
+        top_s, pos = jax.lax.top_k(rs, k)
     else:
         vals, cols = peel_rows(rs, rounds, row_block=32, interpret=interpret)
         neg_keys, pos_sorted = jax.lax.sort_key_val(-vals, cols, dimension=1)

@@ -110,3 +110,49 @@ def test_topk_hybrid_matches_exact_smallish():
     np.testing.assert_allclose(
         np.asarray(s), np.take_along_axis(sc, i, axis=1), rtol=1e-5, atol=1e-4
     )
+
+
+def test_topk_hybrid_int8_recall_and_scores():
+    """int8-quantized retrieval: >= 0.95 top-k recall vs the exact f32
+    ranking, scores within the product-quantization rounding bound, and the
+    build_neighbor_table backend round-trips."""
+    import jax.numpy as jnp
+    from otto_tpu.ops.retrieval import quantize_items_int8, topk_hybrid_int8
+
+    rng = np.random.default_rng(12)
+    items = rng.normal(size=(65536, 32)).astype(np.float32)
+    q = rng.normal(size=(64, 32)).astype(np.float32)
+    q8, scale, sq = quantize_items_int8(jnp.asarray(items))
+    # dequantization error bounded by scale/2 per element
+    deq = np.asarray(q8, np.float32) * np.asarray(scale)[:, None]
+    assert np.abs(deq - items).max() <= np.asarray(scale).max() / 2 + 1e-6
+
+    for metric in ("dot", "euclidean"):
+        s, i = topk_hybrid_int8(jnp.asarray(q), q8, scale, sq, k=5,
+                                tile=32, metric=metric)
+        sc = q @ items.T
+        if metric == "euclidean":
+            sc = 2.0 * sc - np.sum(items**2, axis=1)[None, :]
+        exact = np.argsort(-sc, axis=1)[:, :5]
+        i = np.asarray(i)
+        hits = sum(len(set(map(int, a)) & set(map(int, e)))
+                   for a, e in zip(i, exact))
+        assert hits / i.size >= 0.95, metric
+        # returned scores match the true f32 score of the returned item to
+        # within the two-sided int8 rounding (~2/127 of the dot magnitude;
+        # euclidean cancels 2.dot against ||x||^2, so normalize by the
+        # component magnitudes, not the cancelled result)
+        true_s = np.take_along_axis(sc, i, axis=1)
+        base = 2.0 * np.abs(q @ items.T)
+        denom = np.maximum(np.take_along_axis(base, i, axis=1), 1.0)
+        assert (np.abs(np.asarray(s) - true_s) / denom).max() < 0.05, metric
+
+
+def test_neighbor_table_int8_backend_agrees():
+    rng = np.random.default_rng(13)
+    emb = rng.normal(size=(2048, 16)).astype(np.float32)
+    t_exact = build_neighbor_table(emb, k=10, exact=True, query_batch=512)
+    t_q8 = build_neighbor_table(emb, k=10, backend="int8", query_batch=512)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(t_exact, t_q8)])
+    assert overlap >= 0.9
