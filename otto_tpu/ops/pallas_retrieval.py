@@ -7,13 +7,23 @@ src/gensim_fasttext/inference.py:40-65) with the two-stage TPU top-k pattern
 every stage is a single cheap pass:
 
 - **Stage 1 (Pallas)** — stream transposed item blocks HBM->VMEM, score them
-  against a VMEM-resident query tile on the MXU, and reduce each run of 128
-  consecutive items to ONE packed int32 on the VPU: the score's float bits
-  (shifted positive so integer order == float order) with the low 7 bits
-  replaced by the in-window lane.  A single max tree yields value AND argmax
-  simultaneously; the [B, N] score matrix never exists in HBM.
+  against a VMEM-resident query tile on the MXU, and reduce each 128-item
+  window to ONE packed int32 on the VPU: the score's float bits (shifted
+  positive so integer order == float order) with the low 7 bits replaced by
+  the in-window position.  The [B, N] score matrix never exists in HBM.
 
-  Three tricks keep the VPU work to ~2 ops/element:
+  Windows are **strided**, not consecutive: within each 16384-item chunk,
+  window ``l`` holds the items ``{l, 128+l, ..., 127*128+l}``.  The window
+  max is then a max across 128 *same-lane* slices — pure elementwise VPU
+  maxima with no cross-lane shuffles.  The consecutive layout's
+  ``max(reshape(tq, w, 128), axis=2)`` lowers to a 7-level cross-lane
+  shuffle tree that costs 5.4 ms/2048q at OTTO scale; the strided
+  elementwise loop costs 1.7 ms (measured on a v5e; stage 1 went
+  10.3 -> 5.3 ms against a 3.7 ms matmul-only floor).  Collision
+  statistics are identical — items land in windows by table position
+  either way.
+
+  Three tricks keep the remaining VPU work to ~2 ops/element:
   * the euclidean bias (-||x||^2), the positivity shift C, and the padding
     mask are all *folded into the matmul* via two augmented dimensions —
     item column [x, -||x||^2, 1] against query row [2q, 1, C] (pad columns
@@ -51,7 +61,8 @@ from otto_tpu.ops.row_topk import peel_rows
 
 NEG = float(np.float32(-3.0e38))
 WINDOW = 128
-LANE_MASK = WINDOW - 1  # low 7 bits carry the in-window lane
+LANE_MASK = WINDOW - 1  # low 7 bits carry the in-window position
+CHUNK = WINDOW * WINDOW  # strided windows live inside 16384-item chunks
 
 
 def _stage1_kernel(q_ref, it_ref, out_ref):
@@ -59,14 +70,17 @@ def _stage1_kernel(q_ref, it_ref, out_ref):
 
     Scores are positive by construction (augmented dims), so their float bits
     are order-isomorphic; the low 7 mantissa bits are overwritten with the
-    in-window lane.  The bit surgery happens elementwise in int32 but the
-    result is bitcast *back to float32 before the reduction* — Mosaic lowers
-    f32 lane reductions ~9x faster than int32 ones (measured 12 vs 103 ms per
-    full sweep on a v5e chip).
+    in-window position ``a`` (strided windows: item ``j`` belongs to window
+    ``j & 127`` of its 16384-chunk, at position ``a = (j >> 7) & 127``).  The
+    bit surgery happens elementwise in int32 but the result is bitcast *back
+    to float32 before the reduction* — Mosaic lowers f32 comparisons ~9x
+    faster than int32 ones (measured 12 vs 103 ms per full sweep on a v5e
+    chip).  The window max runs as an unrolled elementwise-maximum loop over
+    the 128 same-lane slices: no cross-lane shuffles (a reshape+axis-reduce
+    costs 2x the whole kernel — see module docstring).
     """
     tq = q_ref.shape[0]
     ib = it_ref.shape[1]
-    w = ib // WINDOW
 
     s = jax.lax.dot_general(
         q_ref[:], it_ref[:],
@@ -74,9 +88,15 @@ def _stage1_kernel(q_ref, it_ref, out_ref):
         preferred_element_type=jnp.float32,
     )  # [TQ, IB], all entries >= 1 except pad columns which are exactly 0
     bits = jax.lax.bitcast_convert_type(s, jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, ib), 1) & LANE_MASK
-    packed = jax.lax.bitcast_convert_type((bits & ~LANE_MASK) | lane, jnp.float32)
-    out_ref[:] = jnp.max(packed.reshape(tq, w, WINDOW), axis=2)
+    code = (jax.lax.broadcasted_iota(jnp.int32, (tq, ib), 1) >> 7) & LANE_MASK
+    packed = jax.lax.bitcast_convert_type((bits & ~LANE_MASK) | code, jnp.float32)
+    for mi in range(ib // CHUNK):
+        base = mi * CHUNK
+        acc = packed[:, base:base + WINDOW]
+        for a in range(1, WINDOW):
+            acc = jnp.maximum(
+                acc, packed[:, base + a * WINDOW:base + (a + 1) * WINDOW])
+        out_ref[:, mi * WINDOW:(mi + 1) * WINDOW] = acc
 
 
 @partial(jax.jit, static_argnames=("tile", "block", "interpret"))
@@ -180,6 +200,13 @@ class PallasRetriever:
         )
 
 
+def _decode_index(col, pos):
+    """Strided-window decode: global window column ``col`` = chunk*128 + lane,
+    packed low bits ``pos`` = position within the window -> item index
+    ``chunk*16384 + pos*128 + lane``."""
+    return (col >> 7) * CHUNK + pos * WINDOW + (col & LANE_MASK)
+
+
 def _augment_queries(q, max_sq: float, metric: str):
     """[B, D] -> [B, D+2] = [aq, u, C]; C a power of two making every
     real score positive (>= 1) in both metrics."""
@@ -226,7 +253,7 @@ def _topk_impl(items_aug_t, items, sq, queries, *, metric, n_items, max_sq,
                            interpret=interpret)
     if rescore_survivors:
         bits_all = jax.lax.bitcast_convert_type(vals[:b], jnp.int32)
-        idx_all = jnp.minimum(cols[:b] * WINDOW + (bits_all & LANE_MASK),
+        idx_all = jnp.minimum(_decode_index(cols[:b], bits_all & LANE_MASK),
                               n_items - 1)
         live_all = bits_all >= 0x3F800000  # real scores are >= 1.0
         s_all = jnp.where(live_all, _rescore(items, sq, queries, idx_all, metric), NEG)
@@ -238,7 +265,7 @@ def _topk_impl(items_aug_t, items, sq, queries, *, metric, n_items, max_sq,
     col = col[:b, :k]                                   # window index
     bits = jax.lax.bitcast_convert_type(top_v, jnp.int32)
     lane = bits & LANE_MASK
-    idx = jnp.minimum(col * WINDOW + lane, n_items - 1)
+    idx = jnp.minimum(_decode_index(col, lane), n_items - 1)
     # pad windows pack to bits in [0, 128); every real score is >= 1.0
     # whose bits are 0x3F800000 — rank pads out
     live = bits >= 0x3F800000
