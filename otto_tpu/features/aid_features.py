@@ -5,6 +5,12 @@ per-event-type aggregates, last-week and last-1..7-day windows, weekly
 occurrence ratios and pct-change trends, and percentile ranks — all as
 segment reductions keyed by aid.
 
+Each aggregate block (the repeated agg dict at
+src/ranker/aid_feature_engineering.py:57-72) is ONE fused pass over the
+event arrays via :func:`otto_tpu.features.base.block_stats` (native C++
+engine when available), with the block's event subset expressed as a mask —
+no column slicing, no per-statistic re-scan.
+
 Returned as a dict of [n_aids] float32 arrays named exactly like the
 reference's columns, so the ranker's feature list
 (models/lightgbm/config.yaml:5-26) resolves directly.
@@ -16,47 +22,45 @@ import numpy as np
 
 from otto_tpu.data.events import EventStore
 from otto_tpu.features.base import (
+    block_stats,
     calendar,
+    mean_from_sums,
     rank_pct,
-    seg_count,
-    seg_max,
-    seg_mean,
-    seg_min,
-    seg_nunique,
-    seg_std,
+    std_from_sums,
 )
 
 EVENT_NAMES = ("click", "cart", "order")
 
+# value-column order inside the fused block pass
+_C_TYPE, _C_HOUR, _C_DOW, _C_CUMNORM, _C_START, _C_END, _C_TCS = range(7)
 
-def _block(prefix: str, ids, n, sess, typ, ts, cal, cumnorm, is_start, is_end, type_cumsum,
-           with_type: bool = True) -> dict[str, np.ndarray]:
-    """One aggregate block (the repeated agg dict in the reference,
-    aid_feature_engineering.py:57-72)."""
-    f = {}
-    count = seg_count(ids, n)
-    present = count > 0
-    f[f"{prefix}count"] = count
-    f[f"{prefix}session_nunique"] = np.where(present, seg_nunique(ids, sess, n), np.nan)
-    if with_type:
-        f[f"{prefix}type_mean"] = seg_mean(ids, typ, n)
-    ts_max = seg_max(ids, ts, n)
-    ts_min = seg_min(ids, ts, n)
-    f[f"{prefix}ts_ratio"] = ts_max / ts_min
-    f[f"{prefix}hour_mean"] = seg_mean(ids, cal["hour"], n)
-    f[f"{prefix}hour_std"] = seg_std(ids, cal["hour"], n)
-    f[f"{prefix}day_of_week_mean"] = seg_mean(ids, cal["day_of_week"], n)
-    f[f"{prefix}day_of_week_std"] = seg_std(ids, cal["day_of_week"], n)
-    f[f"{prefix}day_of_year_nunique"] = np.where(
-        present, seg_nunique(ids, cal["day_of_year"], n), np.nan
+
+def _block(prefix: str, aid, n, sess, day, ts, cols, mask,
+           with_type: bool = True, force_numpy: bool = False) -> dict[str, np.ndarray]:
+    """One aggregate block = one fused pass (aid_feature_engineering.py:57-72)."""
+    count, sess_nu, day_nu, ts_min, ts_max, sums, sumsqs = block_stats(
+        aid, sess, day, ts, cols, n, mask=mask, force_numpy=force_numpy
     )
-    f[f"{prefix}session_cumcount_normalized_mean"] = seg_mean(ids, cumnorm, n)
-    f[f"{prefix}is_session_start_mean"] = seg_mean(ids, is_start, n)
+    present = count > 0
+    f = {}
+    f[f"{prefix}count"] = count
+    f[f"{prefix}session_nunique"] = np.where(present, sess_nu, np.nan)
+    if with_type:
+        f[f"{prefix}type_mean"] = mean_from_sums(sums[_C_TYPE], count)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f[f"{prefix}ts_ratio"] = ts_max / ts_min
+    f[f"{prefix}hour_mean"] = mean_from_sums(sums[_C_HOUR], count)
+    f[f"{prefix}hour_std"] = std_from_sums(sums[_C_HOUR], sumsqs[_C_HOUR], count)
+    f[f"{prefix}day_of_week_mean"] = mean_from_sums(sums[_C_DOW], count)
+    f[f"{prefix}day_of_week_std"] = std_from_sums(sums[_C_DOW], sumsqs[_C_DOW], count)
+    f[f"{prefix}day_of_year_nunique"] = np.where(present, day_nu, np.nan)
+    f[f"{prefix}session_cumcount_normalized_mean"] = mean_from_sums(sums[_C_CUMNORM], count)
+    f[f"{prefix}is_session_start_mean"] = mean_from_sums(sums[_C_START], count)
     f[f"{prefix}is_session_start_count"] = np.where(present, count, np.nan)
-    f[f"{prefix}is_session_end_mean"] = seg_mean(ids, is_end, n)
+    f[f"{prefix}is_session_end_mean"] = mean_from_sums(sums[_C_END], count)
     f[f"{prefix}is_session_end_count"] = np.where(present, count, np.nan)
     if with_type:
-        f[f"{prefix}session_type+1_cumsum_mean"] = seg_mean(ids, type_cumsum, n)
+        f[f"{prefix}session_type+1_cumsum_mean"] = mean_from_sums(sums[_C_TCS], count)
 
     for col in ("count", "session_nunique", "day_of_year_nunique",
                 "is_session_start_count", "is_session_end_count"):
@@ -68,7 +72,8 @@ def _block(prefix: str, ids, n, sess, typ, ts, cal, cumnorm, is_start, is_end, t
     return f
 
 
-def compute_aid_features(store: EventStore, n_aids: int) -> dict[str, np.ndarray]:
+def compute_aid_features(store: EventStore, n_aids: int,
+                         force_numpy: bool = False) -> dict[str, np.ndarray]:
     aid = store.aid.astype(np.int64)
     sess = store.session_idx.astype(np.int64)
     typ = store.type.astype(np.float64)
@@ -88,23 +93,29 @@ def compute_aid_features(store: EventStore, n_aids: int) -> dict[str, np.ndarray
     sess_first = store.offsets[:-1]
     type_cumsum = cs - np.repeat(cs[sess_first] - tp1[sess_first], lengths)
 
-    out = _block("aid_", aid, n_aids, sess, typ, ts, cal, cumnorm, is_start, is_end, type_cumsum)
+    # the fused block pass reads this [7, n_events] matrix (order = _C_*)
+    cols = np.ascontiguousarray(np.stack([
+        typ, cal["hour"].astype(np.float64), cal["day_of_week"].astype(np.float64),
+        cumnorm, is_start, is_end, type_cumsum,
+    ]))
+    day = cal["day_of_year"]
+
+    def run(prefix, mask, with_type=True):
+        return _block(prefix, aid, n_aids, sess, day, ts, cols, mask,
+                      with_type=with_type, force_numpy=force_numpy)
+
+    out = run("aid_", None)
     # the reference's global block keeps absent-aid count at 0 via merge
     # semantics; sub-blocks below are left-joined (NaN where absent)
 
+    def leftjoin(sub, key):
+        cnt = sub[key]
+        sub[key] = np.where(cnt > 0, cnt, np.nan)
+        return sub
+
     for t, name in enumerate(EVENT_NAMES):
-        m = store.type == t
-        sub = _block(
-            f"aid_{name}_",
-            aid[m], n_aids, sess[m], typ[m], ts[m],
-            {k: v[m] for k, v in cal.items()},
-            cumnorm[m], is_start[m], is_end[m], type_cumsum[m],
-            with_type=False,
-        )
-        # left-join semantics: absent aids get NaN (merge how='left')
-        cnt = sub[f"aid_{name}_count"]
-        sub[f"aid_{name}_count"] = np.where(cnt > 0, cnt, np.nan)
-        out.update(sub)
+        sub = run(f"aid_{name}_", store.type == t, with_type=False)
+        out.update(leftjoin(sub, f"aid_{name}_count"))
 
     with np.errstate(invalid="ignore", divide="ignore"):
         out["aid_click_ratio"] = out["aid_click_count"] / out["aid_count"]
@@ -113,32 +124,15 @@ def compute_aid_features(store: EventStore, n_aids: int) -> dict[str, np.ndarray
 
     # ---- last week window (aid_feature_engineering.py:141-170) ------------
     week = cal["week_of_year"]
-    last_week = week == week.max()
-    lw = last_week
-    sub = _block(
-        "aid_last_week_",
-        aid[lw], n_aids, sess[lw], typ[lw], ts[lw],
-        {k: v[lw] for k, v in cal.items()},
-        cumnorm[lw], is_start[lw], is_end[lw], type_cumsum[lw],
-    )
-    cnt = sub["aid_last_week_count"]
-    sub["aid_last_week_count"] = np.where(cnt > 0, cnt, np.nan)
-    out.update(sub)
+    sub = run("aid_last_week_", week == week.max())
+    out.update(leftjoin(sub, "aid_last_week_count"))
 
     # ---- last 1..7 day windows (:172-206) ---------------------------------
-    days = np.sort(np.unique(cal["day_of_year"]))[-7:]
-    for nth, day in enumerate(days):
+    days = np.sort(np.unique(day))[-7:]
+    for nth, d in enumerate(days):
         label = 7 - nth
-        m = cal["day_of_year"] == day
-        sub = _block(
-            f"aid_last_{label}_day_",
-            aid[m], n_aids, sess[m], typ[m], ts[m],
-            {k: v[m] for k, v in cal.items()},
-            cumnorm[m], is_start[m], is_end[m], type_cumsum[m],
-        )
-        cnt = sub[f"aid_last_{label}_day_count"]
-        sub[f"aid_last_{label}_day_count"] = np.where(cnt > 0, cnt, np.nan)
-        out.update(sub)
+        sub = run(f"aid_last_{label}_day_", day == d)
+        out.update(leftjoin(sub, f"aid_last_{label}_day_count"))
 
     # ---- weekly occurrence ratio + pct change (:208-222) ------------------
     weeks = np.sort(np.unique(week))

@@ -159,3 +159,37 @@ def test_assemble_full_52(store):
     assert X.shape == (S, C, len(RANKER_FEATURES))
     # exact parity with models/lightgbm/config.yaml feature list (54 entries)
     assert len(RANKER_FEATURES) == 54
+
+
+def test_block_stats_native_matches_numpy(store):
+    """The fused C++ engine (native/segment_stats.cc) and the numpy fallback
+    must produce identical block statistics, masked and unmasked."""
+    from otto_tpu.features.base import _load_segstats, block_stats
+
+    if not _load_segstats():
+        import pytest
+
+        pytest.skip("native segment_stats unavailable (no g++)")
+    rng = np.random.default_rng(7)
+    n_ev, n = len(store.aid), 150
+    ids = store.aid.astype(np.int64)
+    sess = store.session_idx.astype(np.int64)
+    day = (rng.integers(1, 366, n_ev)).astype(np.int32)
+    ts = store.ts.astype(np.float64)
+    cols = np.ascontiguousarray(rng.normal(size=(3, n_ev)))
+    for mask in (None, store.type == 1, np.zeros(n_ev, bool)):
+        a = block_stats(ids, sess, day, ts, cols, n, mask=mask)
+        b = block_stats(ids, sess, day, ts, cols, n, mask=mask, force_numpy=True)
+        for x, y, name in zip(a, b, ("count", "sess_nu", "day_nu", "ts_min",
+                                     "ts_max", "sums", "sumsqs")):
+            np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-12,
+                                       equal_nan=True, err_msg=name)
+
+
+def test_aid_features_native_matches_numpy(store):
+    f1 = compute_aid_features(store, n_aids=150)
+    f2 = compute_aid_features(store, n_aids=150, force_numpy=True)
+    assert set(f1) == set(f2)
+    for k in f1:
+        np.testing.assert_allclose(f1[k], f2[k], rtol=1e-5, atol=1e-6,
+                                    equal_nan=True, err_msg=k)
