@@ -39,7 +39,35 @@ def make_validation_split(
 
 def split_by_fraction(store: EventStore, val_fraction: float = 0.1, seed: int = 42) -> ValidationSplit:
     """Synthetic-data helper: the session-id cutoff that leaves ~val_fraction
-    of sessions in validation."""
+    of sessions in validation.
+
+    .. warning:: This splits by **session-id order**, mirroring the reference's
+       ``session >= 11098528`` convention (src/validation.py:61), which is only
+       a *temporal* split when session ids were assigned chronologically (true
+       for OTTO; true for :func:`otto_tpu.data.synthetic.synthetic_events_v2`
+       with its id/time alignment; NOT true for arbitrary shuffled inputs).
+       For data without that guarantee use :func:`split_by_time`, which splits
+       on session start timestamps directly.
+    """
     k = int(store.n_sessions * (1 - val_fraction))
     cutoff = int(store.session_ids[min(k, store.n_sessions - 1)])
     return make_validation_split(store, cutoff, seed=seed)
+
+
+def split_by_time(store: EventStore, val_fraction: float = 0.1, seed: int = 42) -> ValidationSplit:
+    """Temporal split on session **start timestamps**: the most recent
+    ``val_fraction`` of sessions (by first-event time) become validation,
+    regardless of how session ids were assigned.  This is the semantically
+    faithful version of the reference's last-week carve-out
+    (src/utilities/train_dataset_writer_parquet.py:14) for inputs whose ids
+    are not chronological."""
+    rng = np.random.default_rng(seed)
+    start_ts = store.ts[store.offsets[:-1]]
+    threshold = np.quantile(start_ts, 1.0 - val_fraction, method="higher")
+    val_mask = start_ts >= threshold
+    train = store.select_sessions(~val_mask)
+    val_full = store.select_sessions(val_mask)
+    cutoffs = random_cutoffs(val_full, rng)
+    val_input = val_full.truncate(cutoffs)
+    labels = build_labels(val_full, cutoffs)
+    return ValidationSplit(train=train, val_input=val_input, val_labels=labels, cutoffs=cutoffs)

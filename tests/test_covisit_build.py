@@ -134,3 +134,45 @@ def test_sharded_build_matches_single_device(built):
         a2, w2 = sharded.tables[kind]
         np.testing.assert_array_equal(a1, a2)
         np.testing.assert_allclose(w1, w2, rtol=1e-5)
+
+
+def test_pair_accumulator_lossless_when_cap_not_binding():
+    """Streaming through PairAccumulator with a generous per-aid cap must be
+    bit-identical to a one-shot merge, no matter how often it compacts."""
+    from otto_tpu.ops.covisit import PairAccumulator, merge_sorted_chunks
+
+    rng = np.random.default_rng(0)
+    n_aids = 50
+    chunks = []
+    for _ in range(30):
+        ax = rng.integers(0, n_aids, size=200)
+        ay = rng.integers(0, n_aids, size=200)
+        k = (ax * n_aids + ay).astype(np.int64)
+        w = rng.random((200, 7)).astype(np.float32)
+        chunks.append((np.sort(k), w))
+    acc = PairAccumulator(n_aids, budget_rows=500, per_aid_cap=n_aids)  # cap never binds
+    for k, w in chunks:
+        acc.add(k, w)
+    got_k, got_w = acc.finish()
+    exp_k, exp_w = merge_sorted_chunks([c[0] for c in chunks], [c[1] for c in chunks])
+    assert acc.n_compactions > 5
+    np.testing.assert_array_equal(got_k, exp_k)
+    np.testing.assert_allclose(got_w, exp_w, rtol=1e-5)
+
+
+def test_bounded_budget_build_matches_exact(built):
+    """A build under a tiny row budget (many lossy compactions) must produce
+    near-identical top-k tables: the per-aid cap (32) is far above the final
+    k (10), so only deep-tail near-ties can move."""
+    es, cfg, mats_exact = built
+    mats_b = build_covisitation(
+        es, n_aids=300, config=cfg, chunk_sessions=128,
+        budget_rows=4_000, per_aid_cap=32,
+    )
+    total = agree = 0
+    for kind in COVISIT_KINDS:
+        a1 = mats_exact.tables[kind][0]
+        a2 = mats_b.tables[kind][0]
+        total += a1.size
+        agree += int((a1 == a2).sum())
+    assert agree / total >= 0.995, agree / total
