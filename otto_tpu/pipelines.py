@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from otto_tpu import TOP_K
+from otto_tpu import EVENT_TYPES, TOP_K
 from otto_tpu.config import DataConfig
 from otto_tpu.data import EventStore, splits, submission
 from otto_tpu.data.labels import SessionLabels
@@ -205,6 +205,57 @@ MODEL_RUNNERS = {
 }
 
 
+def run_ensemble(
+    manifest: dict,
+    labels: SessionLabels | None = None,
+    holdout_fraction: float = 0.25,
+    seed: int = 42,
+    k: int = TOP_K,
+):
+    """File-based multi-model ensemble (the reference's final inference stage,
+    src/ranker/inference.py:14-85,123-140,321-337): load N per-model
+    prediction files per event type, robust-scale, outer-join on
+    (session, aid), blend with the manifest's fixed weights, cut to top-20.
+
+    With ``labels``, reports recall on all labeled sessions (the OOF view)
+    and on a held-out ``holdout_fraction`` subset (the reference's
+    teammate-defined holdout sessions, inference.py:139,321-337).
+    """
+    from otto_tpu.eval.harness import evaluate_predictions
+    from otto_tpu.models.ensemble import align_to_sessions, blend_files
+
+    blended = blend_files(manifest, k=k)
+    report = None
+    if labels is not None:
+        preds = {t: align_to_sessions(labels.session_ids, blended[t], k=k)
+                 for t in EVENT_TYPES}
+        report = evaluate_predictions(
+            labels, preds["clicks"], preds["carts"], preds["orders"]
+        )
+        log.info("ensemble blend scores (all labeled sessions)\n%s", report)
+        rng = np.random.default_rng(seed)
+        hold = rng.random(labels.n_sessions) < holdout_fraction
+        hold_labels = SessionLabels(
+            session_ids=labels.session_ids[hold],
+            click=labels.click[hold],
+            cart_flat=labels.cart_flat[np.repeat(hold, labels.cart_counts)],
+            cart_offsets=np.concatenate([[0], np.cumsum(labels.cart_counts[hold])]),
+            order_flat=labels.order_flat[np.repeat(hold, labels.order_counts)],
+            order_offsets=np.concatenate([[0], np.cumsum(labels.order_counts[hold])]),
+        )
+        hold_report = evaluate_predictions(
+            hold_labels, preds["clicks"][hold], preds["carts"][hold], preds["orders"][hold]
+        )
+        log.info("ensemble blend scores (holdout %.0f%%)\n%s",
+                 100 * holdout_fraction, hold_report)
+        preds_out = preds
+    else:
+        sessions = blended["clicks"][0]
+        preds_out = {t: align_to_sessions(sessions, blended[t], k=k) for t in EVENT_TYPES}
+        preds_out["__sessions"] = sessions
+    return BaselineResult(preds_out, report)
+
+
 def main(argv=None):
     import argparse
 
@@ -216,11 +267,20 @@ def main(argv=None):
     parser.add_argument(
         "model",
         choices=["aid_frequency", "aid_weight", "covisitation", "two_stage",
-                 "tfidf", "sequence", "embedding_knn", "doc2vec"],
+                 "tfidf", "sequence", "embedding_knn", "doc2vec", "ensemble"],
     )
     parser.add_argument("mode", choices=["validation", "submission"])
-    parser.add_argument("--events", required=True,
-                        help="parquet of (session, aid, ts, type) or .jsonl raw file")
+    parser.add_argument("--events", default=None,
+                        help="parquet of (session, aid, ts, type) or .jsonl raw file "
+                             "(optional for 'ensemble submission', required otherwise)")
+    parser.add_argument("--manifest", default=None,
+                        help="ensemble: JSON manifest {etype: {model: {path, weight}}} "
+                             "of per-model prediction files (npz/parquet with "
+                             "session/aid/score) — the reference's read_predictions "
+                             "contract (src/ranker/inference.py:14-85)")
+    parser.add_argument("--holdout-fraction", type=float, default=0.25,
+                        help="ensemble validation: extra recall report on this "
+                             "fraction of sessions (inference.py:321-337)")
     parser.add_argument("--output", default=None, help="submission csv.gz path")
     parser.add_argument("--n-aids", type=int, default=DataConfig().n_aids)
     parser.add_argument("--val-fraction", type=float, default=0.1)
@@ -245,6 +305,31 @@ def main(argv=None):
             return read_jsonl(path)
         return EventStore.from_parquet(path)
 
+    if args.model == "ensemble":
+        import json
+
+        if not args.manifest:
+            parser.error("ensemble requires --manifest")
+        manifest = json.loads(open(args.manifest).read())
+        if args.mode == "validation":
+            if not args.events:
+                parser.error("ensemble validation requires --events (for labels)")
+            sp = splits.split_by_fraction(
+                _read(args.events), val_fraction=args.val_fraction, seed=args.seed
+            )
+            result = run_ensemble(manifest, sp.val_labels,
+                                  holdout_fraction=args.holdout_fraction, seed=args.seed)
+            print(result.report)
+        else:
+            result = run_ensemble(manifest, None)
+            sessions = result.predictions.pop("__sessions")
+            out = args.output or "ensemble_submission.csv.gz"
+            submission.write_submission(out, sessions, result.predictions)
+            print(f"wrote {out}")
+        return result
+
+    if not args.events:
+        parser.error("--events is required")
     store = _read(args.events)
 
     def dispatch(train, target, labels):

@@ -26,7 +26,18 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import os
+
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — remote compiles on the tunneled TPU
+    platform cost 1-2 min per program, so running without the cache turns a
+    minutes-long job into an hour."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
 
 def make_neighbor_table(n_aids: int, nn: int, seed: int) -> np.ndarray:
@@ -69,6 +80,7 @@ def main() -> int:
     ap.add_argument("--load-matrices", type=str, default="")
     args = ap.parse_args()
 
+    _enable_compile_cache()
     from otto_tpu import EVENT_TYPES
     from otto_tpu.data.splits import split_by_time
     from otto_tpu.data.synthetic import synthetic_events_v2
