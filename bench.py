@@ -24,6 +24,78 @@ import time
 
 import numpy as np
 
+
+def e2e_two_stage_bench():
+    """End-to-end two-stage pipeline benchmark (VERDICT round-1 item 3):
+    synthetic OTTO-shaped data -> covisit build -> candgen -> features ->
+    GBDT train -> blend -> predictions, with per-stage wall times.
+
+    ``serve_vs_oracle`` measures the framework's covisit-heuristic serving
+    throughput against the reference-semantics oracle (the per-session
+    Python implementation the reference pipeline is made of) on identical
+    inputs — an honest single-machine baseline ratio, since the reference
+    publishes no numbers (BASELINE.md).
+    """
+    n_sessions = int(os.environ.get("BENCH_E2E_SESSIONS", 120_000))
+    n_aids = int(os.environ.get("BENCH_E2E_AIDS", 20_000))
+
+    from otto_tpu import EVENT_TYPES
+    from otto_tpu.config import GBDTConfig
+    from otto_tpu.data.splits import split_by_time
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.eval import oracle as orc
+    from otto_tpu.models.covisitation import build_covisitation, covisit_heuristic_predictions
+    from otto_tpu.models.frequency import FrequencyStatistics
+    from otto_tpu.twostage import run_two_stage
+
+    stages = {}
+    t0 = time.perf_counter()
+    store = synthetic_events_v2(n_sessions=n_sessions, n_aids=n_aids, seed=3)
+    split = split_by_time(store, val_fraction=0.12, seed=3)
+    stages["datagen_s"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    mats = build_covisitation(split.train, n_aids)
+    stages["covisit_build_s"] = round(time.perf_counter() - t0, 1)
+
+    # serving throughput vs the reference-semantics oracle on identical inputs
+    stats = FrequencyStatistics.compute(split.train, n_aids=n_aids)
+    stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+    t0 = time.perf_counter()
+    covisit_heuristic_predictions(split.val_input, mats, stats_top)
+    fw_serve_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    aid_lists, type_lists = orc.store_to_lists(split.val_input)
+    tables15 = {k: orc.table_to_dict(mats.tables[k][0], 15) for k in mats.tables}
+    freq = {t: [int(a) for a in stats.top_by_type[t]] for t in EVENT_TYPES}
+    orc.oracle_heuristic(aid_lists, type_lists, tables15, freq, None)
+    oracle_serve_s = time.perf_counter() - t0
+    stages["heuristic_serve_s"] = round(fw_serve_s, 1)
+    stages["oracle_serve_s"] = round(oracle_serve_s, 1)
+
+    t0 = time.perf_counter()
+    art = run_two_stage(
+        split.train, split.val_input, n_aids, labels=split.val_labels,
+        ranker_config=GBDTConfig(n_trees=int(os.environ.get("BENCH_E2E_TREES", 150)),
+                                 early_stopping_rounds=40, eval_every=10),
+        matrices=mats,
+    )
+    stages["two_stage_s"] = round(time.perf_counter() - t0, 1)
+
+    pipeline_s = stages["covisit_build_s"] + stages["two_stage_s"]
+    return {
+        "sessions": n_sessions,
+        "train_events": int(split.train.n_events),
+        "val_sessions": int(split.val_input.n_sessions),
+        "stages": stages,
+        "pipeline_s": round(pipeline_s, 1),
+        "events_per_s": round(split.train.n_events / pipeline_s, 0),
+        "serve_sessions_per_s": round(split.val_input.n_sessions / fw_serve_s, 0),
+        "serve_vs_oracle": round(oracle_serve_s / fw_serve_s, 2),
+        "weighted_recall": round(art.report.weighted, 4) if art.report else None,
+        "ceiling": {k: round(v, 4) for k, v in art.max_recall.items()},
+    }
+
 N_ITEMS = int(os.environ.get("BENCH_N_ITEMS", 1_855_604))
 DIM = 32
 K = 100
@@ -165,6 +237,24 @@ def main():
             bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
             device=dev,
         )
+    # fused bf16 kernel: item blocks in the outer grid stream the bf16 table
+    # through VMEM once per batch (REPORT.md retrieval finding 4)
+    rl_fused = {}
+    if pallas_qps > 0:
+        rl_fused = roofline(
+            QUERY_BATCH / pallas_qps,
+            hbm_bytes=N_ITEMS * DIM * 2,
+            bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
+            device=dev,
+        )
+
+    # ---------------- end-to-end two-stage pipeline ----------------------
+    e2e = {}
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        try:
+            e2e = e2e_two_stage_bench()
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            print(f"# e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
     # headline: fastest path whose measured recall vs the exact f32 scan is
     # >= 0.99 (partialreduce and hybrid qualify; the bf16 pallas-fused path is
@@ -186,6 +276,8 @@ def main():
                 "cpu_exact_qps_est": round(cpu_qps, 1),
                 "ranker_candidates_scored_per_s": round(cands_per_sec, 1),
                 "hybrid_roofline": rl,
+                "fused_roofline": rl_fused,
+                "e2e": e2e,
             }
         )
     )

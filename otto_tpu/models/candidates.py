@@ -266,15 +266,42 @@ def regular_candidates(
     max_len: int = 256,
     chunk_sessions: int = 2048,
     vote_cap: int = 32,
+    mesh=None,
 ) -> CandidateSet:
-    """The production candidate generator."""
+    """The production candidate generator.
+
+    With ``mesh``, sessions shard over the mesh's ``data`` axis and the
+    covisitation/kNN tables shard row-wise over ``model``
+    (:mod:`otto_tpu.parallel.serving`); predictions equal the single-device
+    path (tests/test_sharded_serving.py)."""
     packed = store.pack(max_len=max_len, keep="last")
-    tt = tuple(
-        jnp.asarray(matrices.tables[k][0])
-        for k in ("time_weighted", "click_weighted", "cart_weighted", "click_cart", "cart_order")
-    )
     with_ft = ft_neighbors is not None
-    ft = jnp.asarray(ft_neighbors) if with_ft else jnp.zeros((1, 1), jnp.int32)
+    sharded_fn = None
+    if mesh is not None:
+        from otto_tpu.parallel.serving import (
+            CANDGEN_TABLE_KINDS,
+            make_sharded_regular_chunk,
+            pad_table_rows,
+        )
+
+        msize = mesh.shape["model"]
+        dsize = mesh.shape["data"]
+        chunk_sessions = -(-chunk_sessions // dsize) * dsize
+        tt = tuple(
+            jnp.asarray(pad_table_rows(matrices.tables[k][0][:, :wide_k], msize))
+            for k in CANDGEN_TABLE_KINDS
+        )
+        ft = (jnp.asarray(pad_table_rows(ft_neighbors, msize)) if with_ft
+              else jnp.zeros((msize, 1), jnp.int32))
+        sharded_fn = make_sharded_regular_chunk(
+            mesh, uniq_cap, wide_k, k_covisit, with_ft, vote_cap
+        )
+    else:
+        tt = tuple(
+            jnp.asarray(matrices.tables[k][0])
+            for k in ("time_weighted", "click_weighted", "cart_weighted", "click_cart", "cart_order")
+        )
+        ft = jnp.asarray(ft_neighbors) if with_ft else jnp.zeros((1, 1), jnp.int32)
 
     # length-bucketed chunking: short sessions ship as [chunk, 32] slices
     # (exact under the left-aligned keep='last' layout), cutting tunnel bytes
@@ -292,12 +319,17 @@ def regular_candidates(
             sel = idx[start : start + chunk_sessions]
             pad = chunk_sessions - len(sel)
             sel_p = np.concatenate([sel, np.zeros(pad, np.int64)]) if pad else sel
-            res = _regular_chunk(
+            chunk_args = (
                 jnp.asarray(packed.aids[sel_p, :width]),
                 jnp.asarray(packed.types[sel_p, :width]),
                 jnp.asarray(np.minimum(packed.lengths[sel_p], width)),
-                tt, ft, uniq_cap, wide_k, k_covisit, with_ft, vote_cap,
             )
+            if sharded_fn is not None:
+                res = sharded_fn(*chunk_args, *tt, ft)
+            else:
+                res = _regular_chunk(
+                    *chunk_args, tt, ft, uniq_cap, wide_k, k_covisit, with_ft, vote_cap,
+                )
             for t in EVENT_TYPES:
                 c, s = res[t]
                 cands[t][sel] = np.asarray(c)[: len(sel)]

@@ -409,16 +409,45 @@ def covisit_heuristic_predictions(
     max_len: int = 256,
     unique_cap: int = 64,
     chunk_sessions: int = 2048,
+    mesh=None,
 ) -> dict[str, np.ndarray]:
     """Full heuristic recommender over all sessions of ``store``.
 
     stats_top: per-type global top-20 aids (frequency fill).
     ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
     embedding model (replaces the reference's Annoy index; neighbors must
-    already exclude the query aid itself)."""
+    already exclude the query aid itself).
+
+    With ``mesh``, sessions shard over ``data`` and the narrow tables +
+    kNN table shard row-wise over ``model``
+    (:func:`otto_tpu.parallel.serving.make_sharded_heuristic_routes`)."""
     counts = session_unique_counts(store)
     packed = store.pack(max_len=max_len, keep="last")
     S = store.n_sessions
+
+    with_ft = ft_neighbors is not None
+    sharded = None
+    if mesh is not None:
+        from otto_tpu.parallel.serving import make_sharded_heuristic_routes, pad_table_rows
+
+        msize = mesh.shape["model"]
+        chunk_sessions = -(-chunk_sessions // mesh.shape["data"]) * mesh.shape["data"]
+        narrow = {
+            kind: jnp.asarray(pad_table_rows(t[0][:, :narrow_k], msize))
+            for kind, t in matrices.tables.items()
+        }
+        ft_dev = (jnp.asarray(pad_table_rows(ft_neighbors, msize)) if with_ft
+                  else jnp.zeros((msize, 1), jnp.int32))
+        stats_rep = {e: jnp.asarray(stats_top[e][:k]) for e in EVENT_TYPES}
+        # route factories per unique-cap (length buckets use narrower caps)
+        _route_cache: dict[int, tuple] = {}
+
+        def sharded(cap):
+            if cap not in _route_cache:
+                _route_cache[cap] = make_sharded_heuristic_routes(
+                    mesh, cap, narrow_k, k, with_ft
+                )
+            return _route_cache[cap]
 
     tables = {kind: jnp.asarray(t[0]) for kind, t in matrices.tables.items()}
     if ft_neighbors is not None:
@@ -484,16 +513,24 @@ def covisit_heuristic_predictions(
         len(rec_idx),
     )
 
+    if sharded is not None:
+        cov_fn = lambda a, t, lens, cap: sharded(cap)[0](
+            a, t, lens, narrow["time_weighted"], narrow["click_weighted"],
+            narrow["cart_weighted"], narrow["click_cart"], narrow["cart_order"],
+            ft_dev, stats_rep["clicks"], stats_rep["carts"], stats_rep["orders"],
+        )
+        rec_fn = lambda a, t, lens, cap: sharded(cap)[1](
+            a, t, lens, narrow["time_weighted"], narrow["cart_weighted"],
+            narrow["cart_order"], ft_dev,
+        )
+    else:
+        cov_fn = lambda a, t, lens, cap: _covisit_route(
+            a, t, lens, tables, stats_dev, cap, narrow_k, k
+        )
+        rec_fn = lambda a, t, lens, cap: _recency_route(a, t, lens, tables, cap, narrow_k, k)
+
     if len(cov_idx):
-        run_route(
-            lambda a, t, lens, cap: _covisit_route(
-                a, t, lens, tables, stats_dev, cap, narrow_k, k
-            ),
-            cov_idx,
-        )
+        run_route(cov_fn, cov_idx)
     if len(rec_idx):
-        run_route(
-            lambda a, t, lens, cap: _recency_route(a, t, lens, tables, cap, narrow_k, k),
-            rec_idx,
-        )
+        run_route(rec_fn, rec_idx)
     return preds

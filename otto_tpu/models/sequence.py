@@ -9,8 +9,13 @@ models by name (recbole/trainer.py:28-47):
 - ``gru`` — GRU4Rec-style recurrent encoder (lax.scan over time).
 - ``transformer`` — SASRec-style causal self-attention encoder; with L=20 the
   attention is a tiny MXU matmul and the whole block fuses.
+- ``narm`` — NARM-style attention-GRU: the GRU's hidden states feed an
+  additive attention head whose context vector (local encoder) concatenates
+  with the final state (global encoder) before the bilinear decode.
 
-Both use tied item embeddings and a sampled-softmax next-item objective.
+All use tied item embeddings; the objective is sampled softmax or, for the
+GRU4Rec+ configuration, BPR-max with score regularization
+(``SequenceModelConfig.loss = 'bpr_max'``).
 Inference is ``full_sort_predict`` semantics: encode the session, score all
 items with one matmul through the exact top-k scan (recbole/inference.py:74-84
 full_sort + topk), excluding the PAD position.  The 3-way serving routing
@@ -47,16 +52,24 @@ def init_params(
     n_heads: int = 2,
     moe_experts: int = 0,
 ) -> dict:
-    if architecture == "gru":
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+    if architecture in ("gru", "narm"):
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
         scale = 0.05
-        return {
+        p = {
             "item_emb": jax.random.normal(k1, (n_aids + 1, dim)) * scale,  # +1 PAD row
             "gru_wx": jax.random.normal(k2, (dim, 3 * hidden)) * np.sqrt(1.0 / dim),
             "gru_wh": jax.random.normal(k3, (hidden, 3 * hidden)) * np.sqrt(1.0 / hidden),
             "gru_b": jnp.zeros((3 * hidden,)),
             "out_proj": jax.random.normal(k4, (hidden, dim)) * np.sqrt(1.0 / hidden),
         }
+        if architecture == "narm":
+            # additive attention over the hidden-state sequence (NARM's local
+            # encoder); out_proj widens to consume [global ; local]
+            p["narm_a1"] = jax.random.normal(k5, (hidden, hidden)) * np.sqrt(1.0 / hidden)
+            p["narm_a2"] = jax.random.normal(k6, (hidden, hidden)) * np.sqrt(1.0 / hidden)
+            p["narm_v"] = jax.random.normal(k7, (hidden,)) * np.sqrt(1.0 / hidden)
+            p["out_proj"] = jax.random.normal(k4, (2 * hidden, dim)) * np.sqrt(0.5 / hidden)
+        return p
     if architecture == "transformer":
         if dim % n_heads:
             raise ValueError(f"dim={dim} not divisible by n_heads={n_heads}")
@@ -129,6 +142,34 @@ def _encode_gru(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     return h @ params["out_proj"]
 
 
+def _encode_narm(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """NARM encoder: GRU over the session, final state = global encoder,
+    additive-attention context over all hidden states = local encoder,
+    ``[h_global ; c_local] @ out_proj`` = session vector.  Attention weights
+    are unnormalized sigmoids (NARM's formulation), zeroed at padding."""
+    emb = params["item_emb"][seq]  # [B, L, D]
+    B = seq.shape[0]
+    H = params["gru_wh"].shape[0]
+
+    def step(h, inp):
+        x, m = inp
+        h_new = _gru_cell(params, h, x)
+        h = jnp.where(m[:, None], h_new, h)
+        return h, h
+
+    h0 = jnp.zeros((B, H))
+    h_last, hs = jax.lax.scan(
+        step, h0, (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(mask, 0, 1))
+    )
+    hs = jnp.swapaxes(hs, 0, 1)  # [B, L, H]
+    q = h_last @ params["narm_a1"]  # [B, H]
+    kk = hs @ params["narm_a2"]  # [B, L, H]
+    alpha = jax.nn.sigmoid(q[:, None, :] + kk) @ params["narm_v"]  # [B, L]
+    alpha = jnp.where(mask, alpha, 0.0)
+    c_local = jnp.einsum("bl,blh->bh", alpha, hs)
+    return jnp.concatenate([h_last, c_local], axis=1) @ params["out_proj"]
+
+
 def _layer_norm(ln, x, eps=1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -193,6 +234,8 @@ def _encode_transformer(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
 
 def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     """seq: int32 [B, L] (PAD = n_aids); returns session vectors [B, dim]."""
+    if "narm_v" in params:
+        return _encode_narm(params, seq, mask)
     if "gru_wx" in params:
         return _encode_gru(params, seq, mask)
     return _encode_transformer(params, seq, mask)
@@ -306,6 +349,9 @@ def train_sequence_model(
     seqs, masks, targets = _training_examples(store, config.max_len, config.n_aids)
     log.info("sequence model: %d training examples", len(targets))
 
+    loss_name = getattr(config, "loss", "sampled_softmax")
+    bpr_reg = getattr(config, "bpr_reg", 1.0)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, seq, mask, tgt, negs):
         def loss_fn(p):
@@ -314,6 +360,14 @@ def train_sequence_model(
             neg_e = p["item_emb"][negs]  # [B, Neg, D]
             pos_logit = jnp.sum(h * pos_e, axis=1)
             neg_logit = jnp.einsum("bd,bnd->bn", h, neg_e)
+            if loss_name == "bpr_max":
+                # GRU4Rec+ BPR-max (Hidasi & Karatzoglou 2018): negatives are
+                # softmax-weighted by their own scores, plus a score
+                # regularizer on the weighted negatives
+                s = jax.nn.softmax(neg_logit, axis=1)
+                p_win = jnp.sum(s * jax.nn.sigmoid(pos_logit[:, None] - neg_logit), axis=1)
+                reg = jnp.sum(s * neg_logit**2, axis=1)
+                return jnp.mean(-jnp.log(p_win + 1e-10) + bpr_reg * reg)
             # sampled softmax (one positive vs sampled negatives)
             logits = jnp.concatenate([pos_logit[:, None], neg_logit], axis=1)
             return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])

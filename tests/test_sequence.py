@@ -144,3 +144,47 @@ def test_tiny_dataset_trains():
                               epochs=2, n_negatives=4)
     model = train_sequence_model(es, cfg)
     assert np.isfinite(model.history[-1]["loss"])
+
+
+def test_narm_learns_deterministic_transitions(tmp_path):
+    rng = np.random.default_rng(3)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=32, max_len=5, batch_size=1024,
+                              epochs=20, n_negatives=10, learning_rate=5e-3,
+                              architecture="narm")
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+    # round-trip preserves the attention parameters
+    model.save(tmp_path / "narm.npz")
+    loaded = SequenceModel.load(tmp_path / "narm.npz", cfg)
+    np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))
+
+
+def test_bpr_max_gru4rec_plus_learns(tmp_path):
+    rng = np.random.default_rng(4)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=32, max_len=5, batch_size=1024,
+                              epochs=20, n_negatives=10, learning_rate=5e-3,
+                              loss="bpr_max", bpr_reg=1.0)
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
