@@ -193,18 +193,31 @@ def build_covisitation(
 
     # lookahead pipeline: keep a few chunks in flight so device compute and
     # host-link fetches overlap instead of ping-ponging per chunk
+    import time as _time
     from collections import deque
 
+    t_dispatch = t_drain = 0.0
     lookahead = 4
     inflight: deque = deque()
     for bi, t in enumerate(widths):
         idx_all = np.flatnonzero(bucket_of == bi)
         for start in range(0, len(idx_all), chunk_sessions):
+            _t0 = _time.perf_counter()
             inflight.append(dispatch(idx_all[start : start + chunk_sessions], t))
+            t_dispatch += _time.perf_counter() - _t0
             if len(inflight) > lookahead:
+                _t0 = _time.perf_counter()
                 drain(inflight.popleft())
+                t_drain += _time.perf_counter() - _t0
     while inflight:
+        _t0 = _time.perf_counter()
         drain(inflight.popleft())
+        t_drain += _time.perf_counter() - _t0
+    # dispatch time = host prep + enqueue (device runs async); drain time =
+    # result fetch over the host link + host merge — the split that separates
+    # "the chip is slow" from "the tunnel/host is slow" (REPORT.md)
+    log.info("covisitation build: dispatch %.1fs, drain(fetch+merge) %.1fs",
+             t_dispatch, t_drain)
 
     keys, weights = acc.finish()
     if not len(keys):

@@ -78,7 +78,15 @@ def main() -> int:
     ap.add_argument("--out", type=str, default="/tmp/parity.json")
     ap.add_argument("--save-matrices", type=str, default="")
     ap.add_argument("--load-matrices", type=str, default="")
+    ap.add_argument("--platform", type=str, default="",
+                    help="'cpu' pins the CPU backend (parity semantics are "
+                         "platform-independent; use when the TPU tunnel is busy)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     _enable_compile_cache()
     from otto_tpu import EVENT_TYPES
