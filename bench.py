@@ -39,6 +39,10 @@ def e2e_two_stage_bench():
     n_sessions = int(os.environ.get("BENCH_E2E_SESSIONS", 120_000))
     n_aids = int(os.environ.get("BENCH_E2E_AIDS", 20_000))
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
     from otto_tpu import EVENT_TYPES
     from otto_tpu.config import GBDTConfig
     from otto_tpu.data.splits import split_by_time
@@ -127,6 +131,35 @@ def timed_chain(fn, x0, iters: int):
 
 
 def main():
+    # ---------------- end-to-end two-stage pipeline ----------------------
+    # Runs FIRST, in a subprocess with a hard timeout, before this process
+    # touches the device: the tunneled platform's remote compiler wedges in
+    # phases (a blocked compile hangs forever, which an in-process try/except
+    # cannot catch), and a child process can be killed without taking the
+    # whole benchmark down.
+    e2e = {}
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        import subprocess
+
+        budget_s = int(os.environ.get("BENCH_E2E_TIMEOUT", 2400))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import json, bench; print('E2E_JSON:' + json.dumps(bench.e2e_two_stage_bench()))"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=budget_s,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("E2E_JSON:"):
+                    e2e = json.loads(line[len("E2E_JSON:"):])
+            if not e2e:
+                print(f"# e2e bench produced no result (rc={proc.returncode}): "
+                      f"{proc.stderr[-500:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# e2e bench exceeded {budget_s}s budget; skipped", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"# e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
 
@@ -247,14 +280,6 @@ def main():
             bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
             device=dev,
         )
-
-    # ---------------- end-to-end two-stage pipeline ----------------------
-    e2e = {}
-    if not os.environ.get("BENCH_SKIP_E2E"):
-        try:
-            e2e = e2e_two_stage_bench()
-        except Exception as e:  # pragma: no cover - keep the bench alive
-            print(f"# e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
     # headline: fastest path whose measured recall vs the exact f32 scan is
     # >= 0.99 (partialreduce and hybrid qualify; the bf16 pallas-fused path is
