@@ -273,7 +273,7 @@ class SequenceModelConfig(ConfigBase):
     epochs: int = 3
     n_negatives: int = 512
     seed: int = 42
-    architecture: str = "gru"  # 'gru' | 'narm' | 'transformer'
+    architecture: str = "gru"  # 'gru' | 'narm' | 'transformer' | 'stamp' | 'caser'
     loss: str = "sampled_softmax"  # 'sampled_softmax' | 'bpr_max' (GRU4Rec+)
     bpr_reg: float = 1.0  # BPR-max score-regularization weight
     n_layers: int = 2  # transformer only

@@ -12,6 +12,12 @@ models by name (recbole/trainer.py:28-47):
 - ``narm`` — NARM-style attention-GRU: the GRU's hidden states feed an
   additive attention head whose context vector (local encoder) concatenates
   with the final state (global encoder) before the bilinear decode.
+- ``stamp`` — STAMP short-term attention/memory-priority: additive attention
+  over raw item embeddings + two one-layer MLP heads composed by elementwise
+  product (no recurrence).
+- ``caser`` — Caser CNN: horizontal convolutions (heights 2-4) max-pooled
+  over time + a vertical position convolution, through a fully-connected
+  projection.
 
 All use tied item embeddings; the objective is sampled softmax or, for the
 GRU4Rec+ configuration, BPR-max with score regularization
@@ -69,6 +75,46 @@ def init_params(
             p["narm_a2"] = jax.random.normal(k6, (hidden, hidden)) * np.sqrt(1.0 / hidden)
             p["narm_v"] = jax.random.normal(k7, (hidden,)) * np.sqrt(1.0 / hidden)
             p["out_proj"] = jax.random.normal(k4, (2 * hidden, dim)) * np.sqrt(0.5 / hidden)
+        return p
+    if architecture == "stamp":
+        # STAMP (Liu et al., KDD'18): short-term attention/memory priority —
+        # additive attention over item embeddings queried by the last item and
+        # the session mean, two one-layer MLPs, trilinear decode via the
+        # elementwise product of the two heads (RecBole zoo member)
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+        s = np.sqrt(1.0 / dim)
+        return {
+            "item_emb": jax.random.normal(k1, (n_aids + 1, dim)) * 0.05,
+            "stamp_w1": jax.random.normal(k2, (dim, dim)) * s,
+            "stamp_w2": jax.random.normal(k3, (dim, dim)) * s,
+            "stamp_w3": jax.random.normal(k4, (dim, dim)) * s,
+            "stamp_ba": jnp.zeros((dim,)),
+            "stamp_w0": jax.random.normal(k5, (dim,)) * s,
+            "stamp_ws": jax.random.normal(k6, (dim, dim)) * s,
+            "stamp_bs": jnp.zeros((dim,)),
+            "stamp_wt": jax.random.normal(k7, (dim, dim)) * s,
+            "stamp_bt": jnp.zeros((dim,)),
+        }
+    if architecture == "caser":
+        # Caser (Tang & Wang, WSDM'18): the session embedding matrix as an
+        # L x D image — horizontal convolutions of heights 2..4 max-pooled
+        # over time + a vertical convolution over positions, concatenated
+        # through a fully-connected layer (CNN member of the RecBole zoo)
+        heights = (2, 3, 4)
+        n_h = max(8, hidden // 4)  # filters per height
+        n_v = 4
+        keys = jax.random.split(key, 3 + len(heights))
+        p = {
+            "item_emb": jax.random.normal(keys[0], (n_aids + 1, dim)) * 0.05,
+            "caser_wv": jax.random.normal(keys[1], (n_v, max_len)) * np.sqrt(1.0 / max_len),
+            "caser_wh": [
+                jax.random.normal(keys[3 + i], (h * dim, n_h)) * np.sqrt(1.0 / (h * dim))
+                for i, h in enumerate(heights)
+            ],
+        }
+        fc_in = n_v * dim + n_h * len(heights)
+        p["caser_fc"] = jax.random.normal(keys[2], (fc_in, dim)) * np.sqrt(1.0 / fc_in)
+        p["caser_fb"] = jnp.zeros((dim,))
         return p
     if architecture == "transformer":
         if dim % n_heads:
@@ -170,6 +216,54 @@ def _encode_narm(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.concatenate([h_last, c_local], axis=1) @ params["out_proj"]
 
 
+def _encode_stamp(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """STAMP encoder: attention weights a_i = w0 . sigmoid(W1 x_i + W2 m_t +
+    W3 m_s + b_a) over the session items, memory m_a = sum a_i x_i + m_s,
+    session vector = tanh(W_s m_a + b_s) * tanh(W_t m_t + b_t) — the
+    trilinear composition reduces to an elementwise product under the shared
+    tied-embedding dot-product decode."""
+    emb = params["item_emb"][seq] * mask[:, :, None]  # [B, L, D]
+    cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
+    m_s = jnp.sum(emb, axis=1) / cnt  # [B, D] session mean
+    last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)
+    m_t = jnp.take_along_axis(emb, last[:, None, None], axis=1)[:, 0]  # [B, D]
+    pre = (
+        emb @ params["stamp_w1"]
+        + (m_t @ params["stamp_w2"])[:, None, :]
+        + (m_s @ params["stamp_w3"])[:, None, :]
+        + params["stamp_ba"]
+    )
+    alpha = jax.nn.sigmoid(pre) @ params["stamp_w0"]  # [B, L]
+    alpha = jnp.where(mask, alpha, 0.0)
+    m_a = jnp.einsum("bl,bld->bd", alpha, emb) + m_s
+    h_s = jnp.tanh(m_a @ params["stamp_ws"] + params["stamp_bs"])
+    h_t = jnp.tanh(m_t @ params["stamp_wt"] + params["stamp_bt"])
+    return h_s * h_t
+
+
+def _encode_caser(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
+    """Caser encoder.  Horizontal convolutions run as stacked-slice matmuls —
+    for height h the [B, L-h+1, h*D] window tensor hits the MXU as one
+    batched matmul instead of an im2col gather; windows extending past the
+    session length are zeroed before the time max-pool (activations are
+    ReLU >= 0, so zeros never win over a valid window)."""
+    emb = params["item_emb"][seq] * mask[:, :, None]  # [B, L, D]
+    B, L, D = emb.shape
+    lens = jnp.sum(mask, axis=1)  # [B]
+    feats = [jnp.einsum("vl,bld->bvd", params["caser_wv"], emb).reshape(B, -1)]
+    for w in params["caser_wh"]:
+        h = w.shape[0] // D
+        win = jnp.concatenate(
+            [emb[:, j : L - h + 1 + j] for j in range(h)], axis=-1
+        )  # [B, L-h+1, h*D]
+        conv = jax.nn.relu(win @ w)  # [B, L-h+1, n_h]
+        valid = (jnp.arange(L - h + 1)[None, :] + h) <= lens[:, None]
+        conv = jnp.where(valid[:, :, None], conv, 0.0)
+        feats.append(jnp.max(conv, axis=1))
+    z = jnp.concatenate(feats, axis=1)
+    return jax.nn.relu(z @ params["caser_fc"] + params["caser_fb"])
+
+
 def _layer_norm(ln, x, eps=1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -234,6 +328,10 @@ def _encode_transformer(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
 
 def encode(params, seq: jax.Array, mask: jax.Array) -> jax.Array:
     """seq: int32 [B, L] (PAD = n_aids); returns session vectors [B, dim]."""
+    if "stamp_w0" in params:
+        return _encode_stamp(params, seq, mask)
+    if "caser_fc" in params:
+        return _encode_caser(params, seq, mask)
     if "narm_v" in params:
         return _encode_narm(params, seq, mask)
     if "gru_wx" in params:

@@ -133,17 +133,31 @@ class PallasRetriever:
     (Annoy euclidean order: score 2 q.x - ||x||^2).  The table is stored
     transposed in ``table_dtype`` (default bfloat16 — halves HBM traffic;
     final scores are rescored exactly from the same table dtype).
+
+    ``precision="compensated"`` stores an error-compensated bf16 split of the
+    augmented table: item columns ``[hi(x); lo(x); hi(x)]`` scored against
+    query rows ``[qhi, qhi, qlo]``, so the matmul accumulates
+    ``qhi·hi + qhi·lo + qlo·hi ≈ q·x`` to ~2^-17 relative error — f32-accurate
+    scores from pure-bf16 MXU inputs.  The contraction dim grows from D+2 to
+    3(D+2) (102 for D=32), which is *free on the MXU*: the systolic array
+    processes K=128 per pass regardless, and the measured stage-1 matmul floor
+    at K=34 already equals the K=128 cost.  This removes the bf16 scoring
+    error of the default table (recall-vs-exact limited only by stage-1/2
+    window elimination) without the 6x-cost survivor re-gather.
     """
 
     def __init__(self, items, metric: str = "dot", block: int = 16384,
                  table_dtype=jnp.bfloat16, rescore_dtype=jnp.float32,
-                 interpret: bool = False):
+                 precision: str = "single", interpret: bool = False):
         if block % (WINDOW * WINDOW):
             raise ValueError("block must be a multiple of 128*128")
+        if precision not in ("single", "compensated"):
+            raise ValueError(f"unknown precision {precision!r}")
         items = jnp.asarray(items)
         self.n_items, self.dim = items.shape
         self.metric = metric
         self.block = block
+        self.precision = precision
         self.interpret = interpret
         n_pad = (-self.n_items) % block
 
@@ -159,9 +173,15 @@ class PallasRetriever:
         aug = jnp.concatenate(
             [itf, -sq[:, None], jnp.ones((self.n_items, 1), jnp.float32)], axis=1
         )
-        self.items_aug_t = jnp.pad(
-            aug.astype(table_dtype).T, ((0, 0), (0, n_pad))
-        )
+        if precision == "compensated":
+            hi = aug.astype(jnp.bfloat16)
+            lo = (aug - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            aug_cat = jnp.concatenate([hi, lo, hi], axis=1)  # [N, 3(D+2)] bf16
+            self.items_aug_t = jnp.pad(aug_cat.T, ((0, 0), (0, n_pad)))
+        else:
+            self.items_aug_t = jnp.pad(
+                aug.astype(table_dtype).T, ((0, 0), (0, n_pad))
+            )
 
     def topk(self, queries, k: int, tile: int = 128, rounds: int = 6,
              exact_scores: bool = False, rescore_survivors: bool = False):
@@ -196,7 +216,7 @@ class PallasRetriever:
             metric=self.metric, n_items=self.n_items, max_sq=self.max_sq,
             block=self.block, tile=tile, rounds=rounds, k=k,
             exact_scores=exact_scores, rescore_survivors=rescore_survivors,
-            interpret=self.interpret,
+            precision=self.precision, interpret=self.interpret,
         )
 
 
@@ -234,14 +254,22 @@ def _rescore(items, sq, q, idx, metric: str):
 
 @partial(jax.jit, static_argnames=(
     "metric", "n_items", "max_sq", "block", "tile", "rounds", "k",
-    "exact_scores", "rescore_survivors", "interpret"))
+    "exact_scores", "rescore_survivors", "precision", "interpret"))
 def _topk_impl(items_aug_t, items, sq, queries, *, metric, n_items, max_sq,
                block, tile, rounds, k, exact_scores, rescore_survivors,
-               interpret):
+               precision="single", interpret=False):
     b, d = queries.shape
     pad_q = (-b) % tile
     q_aug, c_shift = _augment_queries(queries, max_sq, metric)
-    q_aug = q_aug.astype(items_aug_t.dtype)
+    if precision == "compensated":
+        qhi = q_aug.astype(jnp.bfloat16)
+        qlo = (q_aug - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # [qhi, qhi, qlo] against item rows [hi; lo; hi]: the C and u
+        # augmented entries are bf16-exact, so their lo parts are 0 and the
+        # shift/bias accumulate exactly once
+        q_aug = jnp.concatenate([qhi, qhi, qlo], axis=1)
+    else:
+        q_aug = q_aug.astype(items_aug_t.dtype)
     if pad_q:
         q_aug = jnp.concatenate(
             [q_aug, jnp.zeros((pad_q, q_aug.shape[1]), q_aug.dtype)], axis=0

@@ -188,3 +188,49 @@ def test_bpr_max_gru4rec_plus_learns(tmp_path):
     last = test.last_aid()
     hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
     assert hit > 0.8, hit
+
+
+def test_stamp_learns_deterministic_transitions(tmp_path):
+    rng = np.random.default_rng(5)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=0, max_len=5, batch_size=1024,
+                              epochs=25, n_negatives=10, learning_rate=5e-3,
+                              architecture="stamp")
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+    model.save(tmp_path / "stamp.npz")
+    loaded = SequenceModel.load(tmp_path / "stamp.npz", cfg)
+    np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))
+
+
+def test_caser_learns_deterministic_transitions(tmp_path):
+    rng = np.random.default_rng(6)
+    S, L, N = 800, 6, 20
+    starts = rng.integers(0, N, S)
+    sess = np.repeat(np.arange(S), L)
+    aid = ((starts[:, None] + np.arange(L)[None, :]) % N).reshape(-1)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SequenceModelConfig(n_aids=N, dim=16, hidden=32, max_len=5, batch_size=1024,
+                              epochs=25, n_negatives=10, learning_rate=5e-3,
+                              architecture="caser")
+    model = train_sequence_model(es, cfg)
+    assert model.history[-1]["loss"] < model.history[0]["loss"]
+    test = es.select_sessions(np.arange(0, 50))
+    top = model.full_sort_topk(test, k=3)
+    last = test.last_aid()
+    hit = np.mean([(l + 1) % N in top[i] for i, l in enumerate(last)])
+    assert hit > 0.8, hit
+    model.save(tmp_path / "caser.npz")
+    loaded = SequenceModel.load(tmp_path / "caser.npz", cfg)
+    np.testing.assert_array_equal(top, loaded.full_sort_topk(test, k=3))

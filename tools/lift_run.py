@@ -1,0 +1,167 @@
+"""Reranker-lift experiment (VERDICT round-1 item 4a).
+
+Demonstrates that the two-stage pipeline (candidates -> features -> TPU
+histogram GBDT -> prior blend) beats both the covisitation heuristic and the
+candidate generator's own prior ordering on data with residual reranking
+signal (the v2 synthetic: temporal drift, per-aid conversion propensities,
+per-session buyer propensity, cart->order echoes — otto_tpu/data/synthetic.py).
+
+This is the framework's measurement of the reference's entire L6
+reason-to-exist: the GBDT beating candidate ordering
+(src/ranker/lgb_trainer.py:156-198).
+
+Four rows are reported (weighted recall@20 = .1/.3/.6):
+
+  heuristic        covisit_heuristic_predictions (the L4 model)
+  candidate-prior  regular_candidates in prior order, top-20
+  two-stage        run_two_stage with the GBDT engine
+  ceiling          candidate max-recall (upper bound for any reranker)
+
+Usage: python tools/lift_run.py [--sessions 200000] [--aids 30000]
+       [--trees 300] [--folds 5] [--out /tmp/lift.json] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=200_000)
+    ap.add_argument("--aids", type=int, default=30_000)
+    ap.add_argument("--val-fraction", type=float, default=0.15)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trees", type=int, default=300)
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--early-stop", type=int, default=100)
+    ap.add_argument("--k-covisit", type=int, default=100)
+    ap.add_argument("--out", type=str, default="/tmp/lift.json")
+    ap.add_argument("--platform", type=str, default="")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
+    from otto_tpu import EVENT_TYPES
+    from otto_tpu.config import GBDTConfig
+    from otto_tpu.data.splits import split_by_time
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.eval.harness import evaluate_predictions
+    from otto_tpu.models.candidates import regular_candidates
+    from otto_tpu.models.covisitation import build_covisitation, covisit_heuristic_predictions
+    from otto_tpu.models.frequency import FrequencyStatistics
+    from otto_tpu.models.ranker import top_k_predictions
+    from otto_tpu.twostage import run_two_stage
+
+    results: dict = {"config": vars(args)}
+
+    t0 = time.time()
+    store = synthetic_events_v2(n_sessions=args.sessions, n_aids=args.aids, seed=args.seed)
+    split = split_by_time(store, val_fraction=args.val_fraction, seed=args.seed)
+    print(
+        f"# data: {store.n_events} events, {store.n_sessions} sessions "
+        f"(gen {time.time() - t0:.0f}s); val {split.val_input.n_sessions} sessions",
+        flush=True,
+    )
+
+    t0 = time.time()
+    mats = build_covisitation(split.train, args.aids)
+    results["covisit_build_s"] = round(time.time() - t0, 1)
+    print(f"# covisit build: {results['covisit_build_s']}s", flush=True)
+
+    stats = FrequencyStatistics.compute(split.train, n_aids=args.aids)
+    stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+
+    def _report(tag, rep, extra=None):
+        row = {
+            "weighted": rep.weighted,
+            "corpus_weighted": rep.corpus_weighted,
+            **{t: getattr(rep, t) for t in EVENT_TYPES},
+        }
+        if extra:
+            row.update(extra)
+        results[tag] = row
+        print(
+            f"{tag:16s} weighted {rep.weighted:.6f} corpus {rep.corpus_weighted:.6f} "
+            + " ".join(f"{t} {getattr(rep, t):.4f}" for t in EVENT_TYPES),
+            flush=True,
+        )
+
+    # ---- row 1: the covisitation heuristic -------------------------------
+    t0 = time.time()
+    preds = covisit_heuristic_predictions(split.val_input, mats, stats_top)
+    rep = evaluate_predictions(
+        split.val_labels, preds["clicks"], preds["carts"], preds["orders"]
+    )
+    _report("heuristic", rep, {"serve_s": round(time.time() - t0, 1)})
+
+    # ---- rows 2+4: candidate prior ordering + ceiling --------------------
+    t0 = time.time()
+    cands = regular_candidates(
+        split.val_input, mats, labels=split.val_labels, k_covisit=args.k_covisit
+    )
+    prior_preds = {}
+    for etype in EVENT_TYPES:
+        c = cands.candidates[etype]
+        prior = np.where(c >= 0, -np.arange(c.shape[1], dtype=np.float32)[None, :], -np.inf)
+        prior_preds[etype] = top_k_predictions(c, prior, k=20)
+    rep = evaluate_predictions(
+        split.val_labels, prior_preds["clicks"], prior_preds["carts"], prior_preds["orders"]
+    )
+    _report("candidate_prior", rep, {"candgen_s": round(time.time() - t0, 1)})
+    ceiling = cands.max_recall_report(split.val_labels)
+    results["ceiling"] = ceiling
+    print(f"{'ceiling':16s} weighted {ceiling['weighted']:.6f}", flush=True)
+
+    # ---- row 3: two-stage with the TPU GBDT ------------------------------
+    gcfg = GBDTConfig(
+        n_trees=args.trees,
+        n_folds=args.folds,
+        early_stopping_rounds=args.early_stop,
+        min_data_in_leaf=200,
+    )
+    t0 = time.time()
+    art = run_two_stage(
+        split.train,
+        split.val_input,
+        n_aids=args.aids,
+        labels=split.val_labels,
+        ranker_config=gcfg,
+        matrices=mats,
+        k_covisit=args.k_covisit,
+    )
+    _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
+
+    results["lift_vs_heuristic"] = round(
+        results["two_stage"]["weighted"] - results["heuristic"]["weighted"], 6
+    )
+    results["lift_vs_prior"] = round(
+        results["two_stage"]["weighted"] - results["candidate_prior"]["weighted"], 6
+    )
+    print(
+        f"\n# lift: two-stage vs heuristic {results['lift_vs_heuristic']:+.6f}, "
+        f"vs candidate-prior {results['lift_vs_prior']:+.6f}",
+        flush=True,
+    )
+    pathlib.Path(args.out).write_text(json.dumps(results, indent=2))
+    print(f"# wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
