@@ -184,6 +184,7 @@ def main():
 
     dt = timed_chain(approx_step, queries, iters=10)
     qps = QUERY_BATCH / dt
+    _, approx_idx_out = approx_step(queries)
 
     @jax.jit
     def exact_step(q):
@@ -192,10 +193,18 @@ def main():
 
     dt_exact = timed_chain(exact_step, queries, iters=3)
     exact_qps = QUERY_BATCH / dt_exact
+    # exact ground truth for measured recalls of the approximate paths
+    _, exact_idx = exact_step(queries)
+    exact_sets = [set(map(int, r)) for r in np.asarray(exact_idx)[:, :K]]
+
+    def recall_of(idx):
+        idx = np.asarray(idx)[:, :K]
+        hits = sum(len(set(map(int, r)) & e) for r, e in zip(idx, exact_sets))
+        return hits / (len(exact_sets) * K)
 
     # hybrid: PartialReduce (aggregate_to_topk=False) + pallas peel selection;
     # f32-exact scores, measured 0.997 recall vs the exact scan at this scale
-    hybrid_qps = 0.0
+    hybrid_qps, hybrid_recall = 0.0, 0.0
     if not os.environ.get("BENCH_SKIP_PALLAS"):
         try:
 
@@ -206,13 +215,17 @@ def main():
 
             dt_h = timed_chain(hybrid_step, queries, iters=10)
             hybrid_qps = QUERY_BATCH / dt_h
+            _, ih = topk_hybrid(queries, items, k=K, tile=256, metric="euclidean")
+            hybrid_recall = recall_of(ih)
         except Exception as e:  # pragma: no cover - depends on platform
             print(f"# hybrid path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # fused pallas path (packed windowed-max + peel selection) over a bfloat16
-    # table: fastest, recall 0.996 vs its own (bf16) scoring / ~0.987 vs f32;
+    # fused pallas kernel (packed windowed-max + peel selection), measured in
+    # both table precisions: plain bf16 (speed king) and hi/lo-compensated
+    # bf16 (f32-accurate scores — the production r>=0.99 configuration);
     # guarded so a kernel/compile failure can never take the benchmark down
-    pallas_qps = 0.0
+    pallas_qps, pallas_recall = 0.0, 0.0
+    comp_qps, comp_recall = 0.0, 0.0
     if not os.environ.get("BENCH_SKIP_PALLAS"):
         try:
             from otto_tpu.ops.pallas_retrieval import PallasRetriever
@@ -226,8 +239,26 @@ def main():
 
             dt_p = timed_chain(pallas_step, queries, iters=10)
             pallas_qps = QUERY_BATCH / dt_p
+            _, ip = retr.topk(queries, k=K)
+            pallas_recall = recall_of(ip)
         except Exception as e:  # pragma: no cover - depends on platform
             print(f"# pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            from otto_tpu.ops.pallas_retrieval import PallasRetriever
+
+            retr_c = PallasRetriever(items, metric="euclidean", precision="compensated")
+
+            @jax.jit
+            def comp_step(q):
+                s, i = retr_c.topk(q, k=K)
+                return q + 0.0 * s[:, :1], i[:, :8]
+
+            dt_c = timed_chain(comp_step, queries, iters=10)
+            comp_qps = QUERY_BATCH / dt_c
+            _, ic = retr_c.topk(queries, k=K)
+            comp_recall = recall_of(ic)
+        except Exception as e:  # pragma: no cover - depends on platform
+            print(f"# compensated path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
     # numpy baseline on a reduced table, scaled by item count (work is linear
     # in N): exact same algorithm (full scores + argpartition top-k)
@@ -260,31 +291,53 @@ def main():
     # aggregation reads the [B, ~N/374] reduced maxima once more (negligible)
     from otto_tpu.utils.roofline import roofline
 
+    # ``light_frac`` is the fraction of the *achievable* bound: at d=32 the
+    # scoring matmul's contraction depth occupies k_dim/128 of the systolic
+    # array, so spec-sheet MXU peak is unreachable by any schedule — the
+    # derated MXU time (or the HBM stream time, whichever is larger) is this
+    # workload's speed of light (utils/roofline.py).
     n_tiles = QUERY_BATCH // 256
     table_bytes = N_ITEMS * DIM * 4
     rl = {}
     if hybrid_qps > 0:
+        # hybrid: f32 table re-swept once per 256-query tile; K = D
         rl = roofline(
             QUERY_BATCH / hybrid_qps,
             hbm_bytes=n_tiles * table_bytes,
             bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
+            k_dim=DIM,
             device=dev,
         )
-    # fused bf16 kernel: item blocks in the outer grid stream the bf16 table
-    # through VMEM once per batch (REPORT.md retrieval finding 4)
+    # fused kernels: item blocks in the outer grid stream the table through
+    # VMEM once per batch (REPORT.md retrieval finding 4); the augmented
+    # contraction depth is D+2 (single) / 3(D+2) (compensated)
     rl_fused = {}
     if pallas_qps > 0:
         rl_fused = roofline(
             QUERY_BATCH / pallas_qps,
-            hbm_bytes=N_ITEMS * DIM * 2,
-            bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * DIM,
+            hbm_bytes=N_ITEMS * (DIM + 2) * 2,
+            bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * (DIM + 2),
+            k_dim=DIM + 2,
+            device=dev,
+        )
+    rl_comp = {}
+    if comp_qps > 0:
+        rl_comp = roofline(
+            QUERY_BATCH / comp_qps,
+            hbm_bytes=N_ITEMS * 3 * (DIM + 2) * 2,
+            bf16_flops=2.0 * QUERY_BATCH * N_ITEMS * 3 * (DIM + 2),
+            k_dim=3 * (DIM + 2),
             device=dev,
         )
 
     # headline: fastest path whose measured recall vs the exact f32 scan is
-    # >= 0.99 (partialreduce and hybrid qualify; the bf16 pallas-fused path is
-    # reported alongside at ~0.987-vs-f32 / 0.996-vs-bf16)
-    best = max(qps, hybrid_qps)
+    # >= 0.99 (the compensated fused kernel, the hybrid and partialreduce
+    # qualify; the plain-bf16 fused path is reported alongside)
+    approx_recall = recall_of(approx_idx_out)
+    candidates = [(qps, approx_recall), (hybrid_qps, hybrid_recall),
+                  (comp_qps, comp_recall), (pallas_qps, pallas_recall)]
+    qualified = [v for v, r in candidates if v > 0 and r >= 0.99]
+    best = max(qualified) if qualified else max(qps, hybrid_qps)
     print(
         json.dumps(
             {
@@ -295,13 +348,19 @@ def main():
                 "device": str(dev),
                 "knn_k": K,
                 "partialreduce_qps": round(qps, 1),
+                "partialreduce_recall": round(approx_recall, 4),
                 "hybrid_peel_qps": round(hybrid_qps, 1),
+                "hybrid_recall": round(hybrid_recall, 4),
                 "pallas_fused_bf16_qps": round(pallas_qps, 1),
+                "pallas_fused_recall": round(pallas_recall, 4),
+                "pallas_compensated_qps": round(comp_qps, 1),
+                "pallas_compensated_recall": round(comp_recall, 4),
                 "exact_knn_qps": round(exact_qps, 1),
                 "cpu_exact_qps_est": round(cpu_qps, 1),
                 "ranker_candidates_scored_per_s": round(cands_per_sec, 1),
                 "hybrid_roofline": rl,
                 "fused_roofline": rl_fused,
+                "compensated_roofline": rl_comp,
                 "e2e": e2e,
             }
         )

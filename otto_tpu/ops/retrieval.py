@@ -92,24 +92,32 @@ def build_neighbor_table(
     block: int = 16384,
     scores_out: bool = False,
     exact: bool = False,
-    backend: str = "hybrid",
+    backend: str | None = None,
 ):
     """All-items kNN table: for every aid, its top-k nearest aids.
 
     Replaces the reference's per-query ``annoy.get_nns_by_item`` with one
     batched sweep; returns int32 [N, k] (+ float32 scores when requested).
     ``exclude_self`` drops the query aid itself from its row (the reference
-    skips neighbor 0 — inference.py:167).  ``backend``: "hybrid" (default —
-    PartialReduce + pallas peel aggregation, f32 scores, fastest r>=0.99
-    path), "approx" (PartialReduce + XLA aggregation), "pallas" (fused
+    skips neighbor 0 — inference.py:167).  ``backend`` (default: "compensated"
+    on TPU, "hybrid" elsewhere — the fastest r>=0.99 configuration per
+    backend; measured at OTTO scale on a v5e: compensated 288k q/s r=0.991 vs
+    hybrid 120k q/s r=0.997): "hybrid" (PartialReduce + pallas peel
+    aggregation, f32 scores), "approx" (PartialReduce + XLA aggregation),
+    "pallas" (fused
     packed windowed-max kernel over a bf16 table,
-    :mod:`otto_tpu.ops.pallas_retrieval`), "int8" (hybrid over a
+    :mod:`otto_tpu.ops.pallas_retrieval`), "compensated" (the fused kernel
+    over the hi/lo error-compensated bf16 table — f32-accurate scores at
+    bf16 matmul cost, see ``PallasRetriever(precision="compensated")``),
+    "int8" (hybrid over a
     per-row-quantized int8 table — 1/4 the table HBM footprint; measured
     r=0.981 and 83k q/s vs the f32 hybrid's r=0.997 / 131k q/s at OTTO
     scale on a v5e, so it is a *memory* option, not a speed one: use it
     when the table must coexist with a large model); ``exact=True``
     overrides with the exact blocked scan.
     """
+    if backend is None:
+        backend = "hybrid" if jax.default_backend() == "cpu" else "compensated"
     n = embeddings.shape[0]
     fetch = k + 1 if exclude_self else k
     out = np.empty((n, k), np.int32)
@@ -119,11 +127,12 @@ def build_neighbor_table(
     q8table = None
     if backend == "int8" and not exact:
         q8table = quantize_items_int8(items)
-    if backend == "pallas" and not exact:
+    if backend in ("pallas", "compensated") and not exact:
         from otto_tpu.ops.pallas_retrieval import PallasRetriever
 
         retriever = PallasRetriever(
             items, metric=metric,
+            precision="compensated" if backend == "compensated" else "single",
             interpret=jax.default_backend() == "cpu",  # Mosaic needs a TPU
         )
     for start in range(0, n, query_batch):

@@ -42,13 +42,26 @@ def chip_peaks(device=None) -> ChipPeaks:
     return PEAKS["v5e"]
 
 
+MXU_K = 128  # systolic-array contraction depth per pass
+
+
 def roofline(seconds: float, *, hbm_bytes: float = 0.0, bf16_flops: float = 0.0,
-             f32_flops: float = 0.0, device=None) -> dict:
+             f32_flops: float = 0.0, k_dim: int | None = None,
+             device=None) -> dict:
     """Achieved rates and fractions-of-peak for one measured kernel call.
 
     Returns {"hbm_gbps", "hbm_frac", "tflops", "mxu_frac", "bound"} — the
     binding resource is whichever fraction is highest (a kernel below ~0.5
     on both is latency/VPU-bound or under-shaped for the hardware).
+
+    With ``k_dim`` (the matmul contraction depth) the dict also carries the
+    *achievable-bound* accounting: the MXU processes K=128 per pass
+    regardless of the operand's K, so a K=34 matmul can reach at most
+    34/128 of spec-sheet peak — no kernel schedule recovers it.
+    ``light_s`` is the speed-of-light time under that derate
+    (max of HBM-stream time and derated-MXU time) and ``light_frac`` the
+    measured kernel's fraction of it: the honest headroom number for
+    narrow-contraction workloads like d=32 embedding retrieval.
     """
     peaks = chip_peaks(device)
     out: dict = {}
@@ -60,4 +73,13 @@ def roofline(seconds: float, *, hbm_bytes: float = 0.0, bf16_flops: float = 0.0,
     out["tflops"] = round(tflops, 2)
     out["mxu_frac"] = round(tflops / peak_t, 4)
     out["bound"] = "hbm" if out["hbm_frac"] >= out["mxu_frac"] else "mxu"
+    if k_dim is not None and seconds > 0:
+        derate = min(k_dim, MXU_K) / MXU_K
+        hbm_s = hbm_bytes / (peaks.hbm_gbps * 1e9)
+        mxu_s = (bf16_flops + f32_flops) / (peak_t * derate * 1e12)
+        light_s = max(hbm_s, mxu_s)
+        out["k_dim"] = int(k_dim)
+        out["light_s"] = round(light_s, 6)
+        out["light_frac"] = round(light_s / seconds, 4)
+        out["light_bound"] = "hbm" if hbm_s >= mxu_s else "mxu"
     return out

@@ -27,3 +27,18 @@ def test_chip_peaks_default():
         device_kind = "TPU v5 lite"
 
     assert chip_peaks(Fake()) == PEAKS["v5e"]
+
+
+def test_roofline_light_frac_k_derate():
+    # K=32 derates the bf16 MXU peak to 197/4 = 49.25 TFLOP/s; 49.25 TFLOP of
+    # work then takes 1 s at speed-of-light.  Measured at 2 s -> light_frac 0.5.
+    r = roofline(2.0, hbm_bytes=1e9, bf16_flops=49.25e12, k_dim=32)
+    assert r["light_bound"] == "mxu"
+    assert abs(r["light_s"] - 1.0) < 1e-3
+    assert abs(r["light_frac"] - 0.5) < 1e-3
+
+    # when HBM streaming dominates the bound, light_bound flips
+    r = roofline(2.0, hbm_bytes=1638e9, bf16_flops=1e12, k_dim=128)
+    assert r["light_bound"] == "hbm"
+    assert abs(r["light_s"] - 2.0) < 1e-3
+    assert abs(r["light_frac"] - 1.0) < 1e-3
