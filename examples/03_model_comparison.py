@@ -50,6 +50,15 @@ rows.append(("sequence (transformer)", run_sequence(
 rows.append(("sequence (moe transformer)", run_sequence(
     sp.train, sp.val_input, N, sp.val_labels,
     config_path=str(_cfg_dir / "sequence_moe.yaml")).report))
+rows.append(("sequence (narm)", run_sequence(
+    sp.train, sp.val_input, N, sp.val_labels,
+    config_path=str(_cfg_dir / "sequence_narm.yaml")).report))
+rows.append(("sequence (stamp)", run_sequence(
+    sp.train, sp.val_input, N, sp.val_labels,
+    config_path=str(_cfg_dir / "sequence_stamp.yaml")).report))
+rows.append(("sequence (caser)", run_sequence(
+    sp.train, sp.val_input, N, sp.val_labels,
+    config_path=str(_cfg_dir / "sequence_caser.yaml")).report))
 art = run_two_stage(
     sp.train, sp.val_input, N, labels=sp.val_labels,
     covisit_config=CovisitConfig(top_k_wide=20, session_tail=30),
