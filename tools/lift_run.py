@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("--k-covisit", type=int, default=100)
     ap.add_argument("--out", type=str, default="/tmp/lift.json")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--save-matrices", type=str, default="")
+    ap.add_argument("--load-matrices", type=str, default="")
+    ap.add_argument("--skip-heuristic", action="store_true",
+                    help="restart helper: jump straight to candgen + two-stage")
     args = ap.parse_args()
 
     if args.platform:
@@ -63,7 +67,11 @@ def main() -> int:
     from otto_tpu.data.synthetic import synthetic_events_v2
     from otto_tpu.eval.harness import evaluate_predictions
     from otto_tpu.models.candidates import regular_candidates
-    from otto_tpu.models.covisitation import build_covisitation, covisit_heuristic_predictions
+    from otto_tpu.models.covisitation import (
+        CovisitationMatrices,
+        build_covisitation,
+        covisit_heuristic_predictions,
+    )
     from otto_tpu.models.frequency import FrequencyStatistics
     from otto_tpu.models.ranker import top_k_predictions
     from otto_tpu.twostage import run_two_stage
@@ -80,7 +88,12 @@ def main() -> int:
     )
 
     t0 = time.time()
-    mats = build_covisitation(split.train, args.aids)
+    if args.load_matrices:
+        mats = CovisitationMatrices.load(args.load_matrices)
+    else:
+        mats = build_covisitation(split.train, args.aids)
+        if args.save_matrices:
+            mats.save(args.save_matrices)
     results["covisit_build_s"] = round(time.time() - t0, 1)
     print(f"# covisit build: {results['covisit_build_s']}s", flush=True)
 
@@ -103,12 +116,13 @@ def main() -> int:
         )
 
     # ---- row 1: the covisitation heuristic -------------------------------
-    t0 = time.time()
-    preds = covisit_heuristic_predictions(split.val_input, mats, stats_top)
-    rep = evaluate_predictions(
-        split.val_labels, preds["clicks"], preds["carts"], preds["orders"]
-    )
-    _report("heuristic", rep, {"serve_s": round(time.time() - t0, 1)})
+    if not args.skip_heuristic:
+        t0 = time.time()
+        preds = covisit_heuristic_predictions(split.val_input, mats, stats_top)
+        rep = evaluate_predictions(
+            split.val_labels, preds["clicks"], preds["carts"], preds["orders"]
+        )
+        _report("heuristic", rep, {"serve_s": round(time.time() - t0, 1)})
 
     # ---- rows 2+4: candidate prior ordering + ceiling --------------------
     t0 = time.time()
@@ -147,14 +161,15 @@ def main() -> int:
     )
     _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
 
-    results["lift_vs_heuristic"] = round(
-        results["two_stage"]["weighted"] - results["heuristic"]["weighted"], 6
-    )
+    if "heuristic" in results:
+        results["lift_vs_heuristic"] = round(
+            results["two_stage"]["weighted"] - results["heuristic"]["weighted"], 6
+        )
     results["lift_vs_prior"] = round(
         results["two_stage"]["weighted"] - results["candidate_prior"]["weighted"], 6
     )
     print(
-        f"\n# lift: two-stage vs heuristic {results['lift_vs_heuristic']:+.6f}, "
+        f"\n# lift: two-stage vs heuristic {results.get('lift_vs_heuristic', float('nan')):+.6f}, "
         f"vs candidate-prior {results['lift_vs_prior']:+.6f}",
         flush=True,
     )
