@@ -235,14 +235,16 @@ def main():
 
             retr = PallasRetriever(items, metric="euclidean")
 
-            @jax.jit
+            # NO outer jit: topk is already jitted with the tables as args —
+            # an outer closure would embed them as program constants and blow
+            # the remote compiler's payload limit (HTTP 413)
             def pallas_step(q):
-                s, i = retr.topk(q, k=K)
+                s, i = retr.topk(q, k=K, tile=256)
                 return q + 0.0 * s[:, :1], i[:, :8]
 
             dt_p = timed_chain(pallas_step, queries, iters=10)
             pallas_qps = QUERY_BATCH / dt_p
-            _, ip = retr.topk(queries, k=K)
+            _, ip = retr.topk(queries, k=K, tile=256)
             pallas_recall = recall_of(ip)
         except Exception as e:  # pragma: no cover - depends on platform
             print(f"# pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
@@ -251,14 +253,13 @@ def main():
 
             retr_c = PallasRetriever(items, metric="euclidean", precision="compensated")
 
-            @jax.jit
             def comp_step(q):
-                s, i = retr_c.topk(q, k=K)
+                s, i = retr_c.topk(q, k=K, tile=256)
                 return q + 0.0 * s[:, :1], i[:, :8]
 
             dt_c = timed_chain(comp_step, queries, iters=10)
             comp_qps = QUERY_BATCH / dt_c
-            _, ic = retr_c.topk(queries, k=K)
+            _, ic = retr_c.topk(queries, k=K, tile=256)
             comp_recall = recall_of(ic)
         except Exception as e:  # pragma: no cover - depends on platform
             print(f"# compensated path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
