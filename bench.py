@@ -44,6 +44,12 @@ def e2e_two_stage_bench():
 
     import jax
 
+    if os.environ.get("BENCH_E2E_PLATFORM") == "cpu":
+        # fallback mode: the tunneled TPU's remote-compile service wedges in
+        # phases (verify-skill notes); the pipeline semantics and relative
+        # stage times are platform-independent, so a clearly-labeled CPU run
+        # beats an empty artifact
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
     from otto_tpu import EVENT_TYPES
@@ -84,6 +90,7 @@ def e2e_two_stage_bench():
     art = run_two_stage(
         split.train, split.val_input, n_aids, labels=split.val_labels,
         ranker_config=GBDTConfig(n_trees=int(os.environ.get("BENCH_E2E_TREES", 150)),
+                                 n_folds=int(os.environ.get("BENCH_E2E_FOLDS", 5)),
                                  early_stopping_rounds=40, eval_every=10),
         matrices=mats,
     )
@@ -91,6 +98,7 @@ def e2e_two_stage_bench():
 
     pipeline_s = stages["covisit_build_s"] + stages["two_stage_s"]
     return {
+        "platform": jax.default_backend(),
         "sessions": n_sessions,
         "train_events": int(split.train.n_events),
         "val_sessions": int(split.val_input.n_sessions),
@@ -145,23 +153,39 @@ def main():
         import subprocess
 
         budget_s = int(os.environ.get("BENCH_E2E_TIMEOUT", 2400))
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import json, bench; print('E2E_JSON:' + json.dumps(bench.e2e_two_stage_bench()))"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=budget_s,
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("E2E_JSON:"):
-                    e2e = json.loads(line[len("E2E_JSON:"):])
-            if not e2e:
+
+        def run_e2e_child(extra_env):
+            env = dict(os.environ, **extra_env)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import json, bench; print('E2E_JSON:' + json.dumps(bench.e2e_two_stage_bench()))"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, text=True, timeout=budget_s, env=env,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("E2E_JSON:"):
+                        return json.loads(line[len("E2E_JSON:"):])
                 print(f"# e2e bench produced no result (rc={proc.returncode}): "
                       f"{proc.stderr[-500:]}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"# e2e bench exceeded {budget_s}s budget; skipped", file=sys.stderr)
-        except Exception as e:  # pragma: no cover
-            print(f"# e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"# e2e bench exceeded {budget_s}s budget", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"# e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+            return {}
+
+        e2e = run_e2e_child({})
+        if not e2e:
+            # device attempt failed (wedged remote compiler / held tunnel):
+            # retry once on the CPU backend at reduced scale, labeled as such
+            print("# e2e retrying on the CPU backend at reduced scale", file=sys.stderr)
+            e2e = run_e2e_child({
+                "BENCH_E2E_PLATFORM": "cpu",
+                "BENCH_E2E_SESSIONS": os.environ.get("BENCH_E2E_SESSIONS_CPU", "30000"),
+                "BENCH_E2E_AIDS": os.environ.get("BENCH_E2E_AIDS_CPU", "10000"),
+                "BENCH_E2E_TREES": "60",
+                "BENCH_E2E_FOLDS": "3",
+            })
 
     import jax
     import jax.numpy as jnp

@@ -46,6 +46,10 @@ def main() -> int:
     ap.add_argument("--early-stop", type=int, default=100)
     ap.add_argument("--k-covisit", type=int, default=100)
     ap.add_argument("--out", type=str, default="/tmp/lift.json")
+    ap.add_argument("--engine", type=str, default="gbdt", choices=["gbdt", "tower"],
+                    help="reranker engine: the TPU histogram GBDT (reference-"
+                         "faithful) or the listwise tower (fast on CPU; shown "
+                         "GBDT-class on identical features, REPORT.md)")
     ap.add_argument("--platform", type=str, default="")
     ap.add_argument("--save-matrices", type=str, default="")
     ap.add_argument("--load-matrices", type=str, default="")
@@ -62,7 +66,7 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
     from otto_tpu import EVENT_TYPES
-    from otto_tpu.config import GBDTConfig
+    from otto_tpu.config import GBDTConfig, RankerConfig
     from otto_tpu.data.splits import split_by_time
     from otto_tpu.data.synthetic import synthetic_events_v2
     from otto_tpu.eval.harness import evaluate_predictions
@@ -142,13 +146,18 @@ def main() -> int:
     results["ceiling"] = ceiling
     print(f"{'ceiling':16s} weighted {ceiling['weighted']:.6f}", flush=True)
 
-    # ---- row 3: two-stage with the TPU GBDT ------------------------------
-    gcfg = GBDTConfig(
-        n_trees=args.trees,
-        n_folds=args.folds,
-        early_stopping_rounds=args.early_stop,
-        min_data_in_leaf=200,
-    )
+    # ---- row 3: two-stage with the selected reranker engine --------------
+    if args.engine == "tower":
+        gcfg = RankerConfig(hidden_dims=(256, 128), n_folds=args.folds,
+                            epochs=8, batch_sessions=512, dropout=0.0,
+                            loss="lambdarank")
+    else:
+        gcfg = GBDTConfig(
+            n_trees=args.trees,
+            n_folds=args.folds,
+            early_stopping_rounds=args.early_stop,
+            min_data_in_leaf=200,
+        )
     t0 = time.time()
     art = run_two_stage(
         split.train,
