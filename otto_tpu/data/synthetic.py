@@ -117,8 +117,11 @@ def synthetic_events_v2(
     - **per-session buyer propensity**: lognormal multiplier on cart/order
       rates — session-FE signal;
     - **interaction structure**: carts echo earlier session events, orders
-      preferentially echo the most recently *carted* aid — the classic
-      "was carted in this session => will be ordered" interaction-FE signal;
+      preferentially echo a uniformly-random earlier *carted* aid — the
+      classic "was carted in this session => will be ordered" interaction-FE
+      signal, deliberately decoupled from recency so it is invisible to the
+      candidate generator's recency prior (a reranker must use the cart
+      features to capture it);
     - **chronological session ids**: ids are assigned in session-start order
       so the reference's id-cutoff validation protocol (src/validation.py:61)
       is a genuine temporal split here too.
@@ -229,14 +232,30 @@ def synthetic_events_v2(
     j = sess_first[session_of] + np.floor(rng.random(total) * np.maximum(pos, 1)).astype(np.int64)
     aid[cart_echo] = aid[j[cart_echo]]
 
-    # orders echo the most recently carted aid (p=.45), else an earlier event
-    gidx = np.arange(total, dtype=np.int64)
-    last_cart = np.maximum.accumulate(np.where(types == 1, gidx, sess_first[session_of] - 1))
-    last_cart_excl = np.concatenate([[-1], last_cart[:-1]])
-    has_prior_cart = last_cart_excl >= sess_first[session_of]
+    # orders echo a uniformly-random earlier *carted* aid (p=.45), else an
+    # earlier event.  Uniform (not most-recent) cart choice matters: a
+    # most-recent-cart echo makes recency a sufficient statistic, leaving a
+    # reranker nothing the candidate prior doesn't already order correctly;
+    # a uniform cart echo makes in-session carted-ness (an interaction
+    # feature) discriminative where recency is not.  Selection runs as a
+    # running max of iid keys over the prefix carts (reservoir property:
+    # the argmax of iid keys is uniform among them), packed per session as
+    # session_id + (key<<8 | position)/2^28 — exact in float64 for
+    # n_sessions < 2^24, positions < 256 (max_length <= 200).
+    if n_sessions >= 1 << 24:
+        raise ValueError("v2 generator supports < 2^24 sessions")
+    rand20 = rng.integers(0, 1 << 20, size=total).astype(np.int64)
+    key = ((rand20 << 8) | np.minimum(pos, 255)) / float(1 << 28)
+    packed = np.where(types == 1, session_of + key, session_of.astype(np.float64))
+    acc_excl = np.concatenate([[0.0], np.maximum.accumulate(packed)[:-1]])
+    frac = acc_excl - session_of
+    has_prior_cart = frac > 0
+    cart_src = sess_first[session_of] + (
+        np.round(frac * (1 << 28)).astype(np.int64) & 0xFF
+    )
     r = rng.random(total)
     order_echo_cart = (types == 2) & has_prior_cart & (r < 0.45)
-    aid[order_echo_cart] = aid[last_cart_excl[order_echo_cart]]
+    aid[order_echo_cart] = aid[cart_src[order_echo_cart]]
     order_echo_any = (types == 2) & ~order_echo_cart & (pos > 0) & (r < 0.70)
     aid[order_echo_any] = aid[j[order_echo_any]]
 

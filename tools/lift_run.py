@@ -129,9 +129,17 @@ def main() -> int:
         _report("heuristic", rep, {"serve_s": round(time.time() - t0, 1)})
 
     # ---- rows 2+4: candidate prior ordering + ceiling --------------------
+    # IDENTICAL candgen parameters to run_two_stage's internal call (wide_k
+    # from CovisitConfig.top_k_wide): with a shared candidate set, the
+    # two-stage row's prior-blend at alpha=0 reproduces this row exactly, so
+    # any difference is attributable to the reranker alone
+    from otto_tpu.config import CovisitConfig
+
+    wide_k = min(CovisitConfig().top_k_wide, mats.tables["time_weighted"][0].shape[1])
     t0 = time.time()
     cands = regular_candidates(
-        split.val_input, mats, labels=split.val_labels, k_covisit=args.k_covisit
+        split.val_input, mats, labels=split.val_labels, k_covisit=args.k_covisit,
+        wide_k=wide_k,
     )
     prior_preds = {}
     for etype in EVENT_TYPES:
