@@ -46,6 +46,7 @@ def main() -> int:
     ap.add_argument("--early-stop", type=int, default=100)
     ap.add_argument("--k-covisit", type=int, default=100)
     ap.add_argument("--out", type=str, default="/tmp/lift.json")
+    ap.add_argument("--epochs", type=int, default=8, help="tower engine epochs")
     ap.add_argument("--engine", type=str, default="gbdt", choices=["gbdt", "tower"],
                     help="reranker engine: the TPU histogram GBDT (reference-"
                          "faithful) or the listwise tower (fast on CPU; shown "
@@ -157,7 +158,7 @@ def main() -> int:
     # ---- row 3: two-stage with the selected reranker engine --------------
     if args.engine == "tower":
         gcfg = RankerConfig(hidden_dims=(256, 128), n_folds=args.folds,
-                            epochs=8, batch_sessions=512, dropout=0.0,
+                            epochs=args.epochs, batch_sessions=512, dropout=0.0,
                             loss="lambdarank")
     else:
         gcfg = GBDTConfig(
