@@ -75,6 +75,33 @@ class SessionLabels:
         out[rows, pos[keep]] = flat[keep]
         return out
 
+    def take(self, idx: np.ndarray) -> "SessionLabels":
+        """Row-subset of the labels (vectorized CSR gather) — used to score
+        disjoint session halves (e.g. the two-stage report sessions held out
+        from alpha/early-stop selection, twostage.run_two_stage)."""
+        idx = np.asarray(idx, dtype=np.int64)
+
+        def sub(flat, offsets):
+            counts = np.diff(offsets)[idx]
+            new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(counts, out=new_off[1:])
+            total = int(new_off[-1])
+            starts = offsets[idx]
+            pos = np.arange(total, dtype=np.int64) - new_off[:-1].repeat(counts)
+            gather = starts.repeat(counts) + pos
+            return flat[gather], new_off
+
+        cart_flat, cart_off = sub(self.cart_flat, self.cart_offsets)
+        order_flat, order_off = sub(self.order_flat, self.order_offsets)
+        return SessionLabels(
+            session_ids=self.session_ids[idx],
+            click=self.click[idx],
+            cart_flat=cart_flat,
+            cart_offsets=cart_off,
+            order_flat=order_flat,
+            order_offsets=order_off,
+        )
+
     def labels_for(self, kind: str):
         """(flat, offsets) pair for carts/orders, or click array."""
         if kind == "clicks":

@@ -382,7 +382,7 @@ class SequenceModel:
         out = np.zeros((store.n_sessions, k), np.int32)
         use_fast = self.config.n_aids >= 1 << 16
         retriever = None
-        if use_fast and jax.default_backend() != "cpu":
+        if use_fast and jax.default_backend() == "tpu":
             from otto_tpu.ops.pallas_retrieval import PallasRetriever
 
             retriever = PallasRetriever(items, metric="dot", precision="compensated")

@@ -174,6 +174,12 @@ class PallasRetriever:
             [itf, -sq[:, None], jnp.ones((self.n_items, 1), jnp.float32)], axis=1
         )
         if precision == "compensated":
+            if table_dtype != jnp.bfloat16:
+                raise ValueError(
+                    "precision='compensated' hardcodes a bf16 hi/lo split; "
+                    f"table_dtype={table_dtype} is ignored — pass the default "
+                    "bf16 or use precision='single'"
+                )
             hi = aug.astype(jnp.bfloat16)
             lo = (aug - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             aug_cat = jnp.concatenate([hi, lo, hi], axis=1)  # [N, 3(D+2)] bf16

@@ -117,7 +117,9 @@ def build_neighbor_table(
     overrides with the exact blocked scan.
     """
     if backend is None:
-        backend = "hybrid" if jax.default_backend() == "cpu" else "compensated"
+        # the compensated/Pallas default compiles only for Mosaic TPU; any
+        # other backend (cpu, gpu, ...) gets the pure-XLA hybrid path
+        backend = "compensated" if jax.default_backend() == "tpu" else "hybrid"
     n = embeddings.shape[0]
     fetch = k + 1 if exclude_self else k
     out = np.empty((n, k), np.int32)

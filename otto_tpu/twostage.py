@@ -110,6 +110,11 @@ class TwoStageArtifacts:
     predictions: dict[str, np.ndarray]  # etype -> [S, 20]
     report: RecallReport | None
     max_recall: dict[str, float] = field(default_factory=dict)
+    # sessions used for alpha / early-stop selection (True) vs held out for
+    # the unbiased report (False); ``report_disjoint`` scores only the
+    # held-out half, so it carries no selection optimism
+    selection_mask: np.ndarray | None = None
+    report_disjoint: RecallReport | None = None
 
     def save(self, directory) -> None:
         """Persist everything needed to re-score new sessions (the
@@ -186,11 +191,21 @@ def run_two_stage(
     matrices: CovisitationMatrices | None = None,
     sgns: SGNSModel | None = None,
     artifact_dir=None,
+    selection_fraction: float = 0.5,
+    selection_seed: int = 17,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
     ``train`` supplies statistics (covisitation, embeddings, aid features);
     ``target`` sessions receive candidates and predictions.
+
+    ``selection_fraction`` splits the labeled target sessions into a
+    *selection* subset (prior-blend alpha and early-stop metrics are computed
+    only there) and a disjoint *report* subset scored by
+    ``artifacts.report_disjoint`` — so the reported number never shares
+    sessions with the hyper-selection (the reference's OOF-vs-holdout split,
+    src/ranker/inference.py:321-337).  ``report`` still covers all sessions
+    for continuity; cite ``report_disjoint`` when claiming lift.
 
     ``artifact_dir`` enables per-stage persistence and crash resume (the
     reference's pattern of every stage persisting so reruns restart from the
@@ -251,6 +266,15 @@ def run_two_stage(
     sess_feats = compute_session_features(target, aid_feats)
 
     # ---- stage 3+4: per-type ranker training / prediction -----------------
+    sel_mask = None
+    if labels is not None and 0.0 < selection_fraction < 1.0:
+        sel_mask = (
+            np.random.default_rng(selection_seed).random(target.n_sessions)
+            < selection_fraction
+        )
+        if sel_mask.all() or not sel_mask.any():  # degenerate tiny inputs
+            sel_mask = None
+
     rankers: dict[str, RankerModel] = {}
     predictions: dict[str, np.ndarray] = {}
     for etype in EVENT_TYPES:
@@ -269,6 +293,16 @@ def run_two_stage(
                 feature_names=list(feature_list),
             )
             eval_fn = _recall_eval_fn(labels, cands.candidates[etype], etype)
+            if sel_mask is not None:
+                # restrict alpha / early-stop selection to the selection half
+                raw_eval = eval_fn
+
+                def eval_fn(session_indices, scores, _raw=raw_eval):
+                    keep = sel_mask[session_indices]
+                    if not keep.any():
+                        return _raw(session_indices, scores)
+                    return _raw(session_indices[keep], scores[keep])
+
             model, oof = _train_engine(data, ranker_config, eval_fn)
             rankers[etype] = model
             if second_ranker_config is not None:
@@ -295,11 +329,24 @@ def run_two_stage(
             )
 
     report = None
+    report_disjoint = None
     if labels is not None:
         report = evaluate_predictions(
             labels, predictions["clicks"], predictions["carts"], predictions["orders"]
         )
         log.info("two-stage validation scores\n%s", report)
+        if sel_mask is not None:
+            holdout = np.flatnonzero(~sel_mask)
+            report_disjoint = evaluate_predictions(
+                labels.take(holdout),
+                predictions["clicks"][holdout],
+                predictions["carts"][holdout],
+                predictions["orders"][holdout],
+            )
+            log.info(
+                "two-stage scores on the %d selection-disjoint sessions\n%s",
+                len(holdout), report_disjoint,
+            )
 
     artifacts = TwoStageArtifacts(
         matrices=matrices,
@@ -309,6 +356,8 @@ def run_two_stage(
         predictions=predictions,
         report=report,
         max_recall=max_recall,
+        selection_mask=sel_mask,
+        report_disjoint=report_disjoint,
     )
     if adir is not None:
         artifacts.save(adir)

@@ -98,3 +98,22 @@ def test_padded_labels():
     padded = labels.padded("carts")
     counts = (padded >= 0).sum(axis=1)
     np.testing.assert_array_equal(counts, labels.cart_counts)
+
+
+def test_labels_take_subsets_rows():
+    es = synthetic_events(n_sessions=200, n_aids=150, seed=14)
+    cutoffs = np.zeros(es.n_sessions, dtype=np.int64)
+    labels = build_labels(es, cutoffs)
+    idx = np.random.default_rng(0).permutation(es.n_sessions)[:73]
+    sub = labels.take(idx)
+    assert sub.n_sessions == 73
+    np.testing.assert_array_equal(sub.click, labels.click[idx])
+    np.testing.assert_array_equal(sub.session_ids, labels.session_ids[idx])
+    for j, s in enumerate(idx):
+        for flat, off, sflat, soff in (
+            (labels.cart_flat, labels.cart_offsets, sub.cart_flat, sub.cart_offsets),
+            (labels.order_flat, labels.order_offsets, sub.order_flat, sub.order_offsets),
+        ):
+            want = flat[off[s] : off[s + 1]].tolist()
+            got = sflat[soff[j] : soff[j + 1]].tolist()
+            assert got == want
