@@ -69,21 +69,102 @@ def _blend_scores(candidates: np.ndarray, score_mats: list[np.ndarray],
     return np.where(valid, out, -np.inf).astype(np.float32)
 
 
-PRIOR_ALPHAS = (0.0, 0.25, 0.5, 1.0, 2.0, 4.0)
+PRIOR_ALPHAS = (0.0, 0.05, 0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
 
 
-def _prior_blend(candidates: np.ndarray, tower_scores: np.ndarray, eval_fn):
-    """Blend the tower score with the candidate-generator's rank prior.
+def _heuristic_rank_matrix(candidates: np.ndarray, heur: np.ndarray,
+                           chunk: int = 8192):
+    """Per-candidate rank in the session's heuristic top-k list.
 
-    The generator's ordering (session recency + covisitation votes) is a
-    strong prior; ``score = prior + alpha * tower`` lets the learned model
-    only refine it.  ``alpha`` is selected per event type by OOF recall over
-    a small grid (alpha -> infinity recovers the pure tower; alpha = 0 the
-    pure prior).
+    Returns ``rank`` int32 [S, C] (0-based position in ``heur``, -1 if the
+    candidate is not in the heuristic list) and ``present`` bool [S, K]
+    (heuristic entry already covered by the candidate grid).  Chunked
+    broadcast keeps the [chunk, C, K] equality tensor small.
     """
+    S, C = candidates.shape
+    K = heur.shape[1]
+    rank = np.full((S, C), -1, np.int32)
+    present = np.zeros((S, K), bool)
+    for s0 in range(0, S, chunk):
+        s1 = min(s0 + chunk, S)
+        c = candidates[s0:s1]
+        h = heur[s0:s1]
+        eq = (c[:, :, None] == h[:, None, :]) & (c >= 0)[:, :, None] & (h >= 0)[:, None, :]
+        any_c = eq.any(axis=2)
+        rank[s0:s1] = np.where(any_c, eq.argmax(axis=2).astype(np.int32), -1)
+        present[s0:s1] = eq.any(axis=1)
+    return rank, present
+
+
+def _union_heuristic(cands: CandidateSet, heur_preds: dict[str, np.ndarray],
+                     labels: SessionLabels | None) -> dict[str, np.ndarray]:
+    """Union each session's heuristic top-k into the candidate grid.
+
+    Appends K extra columns holding heuristic picks missing from the grid
+    (candgen score 0 — the ``heuristic_rank_score`` feature and prior carry
+    their ordering), recomputes labels for the widened grid, and returns the
+    per-type [S, C+K] heuristic-rank matrices.  Guarantees the heuristic's
+    exact top-20 is reachable by the reranker, so the prior blend at
+    alpha = 0 reproduces the L4 heuristic and any selected alpha > 0 is
+    measured lift over it.
+    """
+    from otto_tpu.models.candidates import _label_dict
+
+    heur_rank: dict[str, np.ndarray] = {}
+    for etype in EVENT_TYPES:
+        c = cands.candidates[etype]
+        sc = cands.scores[etype]
+        h = heur_preds[etype]
+        S, _ = c.shape
+        K = h.shape[1]
+        _, present = _heuristic_rank_matrix(c, h)
+        missing = (~present) & (h >= 0)  # [S, K]
+        ext = np.full((S, K), -1, np.int32)
+        pos = np.cumsum(missing, axis=1) - 1
+        r, kk = np.nonzero(missing)
+        ext[r, pos[r, kk]] = h[r, kk]
+        cands.candidates[etype] = np.concatenate([c, ext], axis=1)
+        cands.scores[etype] = np.concatenate(
+            [sc, np.zeros((S, K), sc.dtype)], axis=1
+        )
+        rank, _ = _heuristic_rank_matrix(cands.candidates[etype], h)
+        heur_rank[etype] = rank
+    if labels is not None:
+        cands.labels = _label_dict(cands.candidates, labels)
+    return heur_rank
+
+
+def _prior_matrix(candidates: np.ndarray, heur_rank: np.ndarray | None):
+    """Rank-prior score matrix: candgen order, with heuristic-list members
+    lifted strictly above it in heuristic order (top-20 by this prior is then
+    exactly the heuristic's list)."""
     S, C = candidates.shape
     valid = candidates >= 0
     prior = np.where(valid, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
+    if heur_rank is not None:
+        K = heur_rank.max(initial=0) + 1
+        prior = np.where(
+            (heur_rank >= 0) & valid,
+            (C + K - heur_rank).astype(np.float32),
+            prior,
+        )
+    return prior
+
+
+def _prior_blend(candidates: np.ndarray, tower_scores: np.ndarray, eval_fn,
+                 heur_rank: np.ndarray | None = None):
+    """Blend the tower score with the candidate-ordering prior.
+
+    The prior is the candidate-generator's ordering (session recency +
+    covisitation votes) — or, when ``heur_rank`` is given, that ordering with
+    the covisit heuristic's top-20 lifted above it, so alpha = 0 reproduces
+    the L4 heuristic exactly.  ``score = prior + alpha * tower`` lets the
+    learned model only refine it; ``alpha`` is selected per event type by
+    recall over a small grid (alpha -> infinity recovers the pure tower).
+    """
+    S, C = candidates.shape
+    valid = candidates >= 0
+    prior = _prior_matrix(candidates, heur_rank)
     prior_n = _blend_scores(candidates, [prior], [1.0])
     tower_n = _blend_scores(candidates, [tower_scores], [1.0])
     best_alpha, best_r, best_scores = 0.0, -1.0, prior_n
@@ -193,6 +274,7 @@ def run_two_stage(
     artifact_dir=None,
     selection_fraction: float = 0.5,
     selection_seed: int = 17,
+    heuristic_union: bool = True,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
@@ -251,6 +333,22 @@ def run_two_stage(
         wide_k=min(covisit_config.top_k_wide, matrices.tables["time_weighted"][0].shape[1]),
         k_covisit=k_covisit,
     )
+    heur_rank = None
+    if heuristic_union:
+        # union the L4 heuristic's top-20 into the grid and expose its
+        # ordering as a feature + the blend prior: two-stage then dominates
+        # the heuristic by construction (alpha = 0 recovers it exactly) and
+        # any selected alpha > 0 is measured reranker lift over it
+        from otto_tpu.models.covisitation import covisit_heuristic_predictions
+        from otto_tpu.models.frequency import FrequencyStatistics
+
+        stats = FrequencyStatistics.compute(train, n_aids=n_aids)
+        stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+        heur_preds = covisit_heuristic_predictions(
+            target, matrices, stats_top, ft_neighbors=ft_neighbors
+        )
+        heur_rank = _union_heuristic(cands, heur_preds, labels)
+        feature_list = list(feature_list) + ["heuristic_rank_score"]
     max_recall = cands.max_recall_report(labels) if labels is not None else {}
 
     # ---- stage 2: features ------------------------------------------------
@@ -281,6 +379,12 @@ def run_two_stage(
         inter = compute_interaction_features(
             target, cands.candidates[etype], cands.scores[etype], n_aids
         )
+        if heur_rank is not None:
+            hr = heur_rank[etype]
+            K = max(int(hr.max(initial=0)) + 1, 1)
+            inter["heuristic_rank_score"] = np.where(
+                hr >= 0, (K - hr).astype(np.float32) / K, 0.0
+            ).astype(np.float32)
         X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
         mask = cands.candidates[etype] >= 0
         if labels is not None:
@@ -315,7 +419,10 @@ def run_two_stage(
                     cands.candidates[etype], [oof, oof_b], list(blend_weights)
                 )
             if prior_blend:
-                oof, alpha = _prior_blend(cands.candidates[etype], oof, eval_fn)
+                oof, alpha = _prior_blend(
+                    cands.candidates[etype], oof, eval_fn,
+                    heur_rank=None if heur_rank is None else heur_rank[etype],
+                )
                 rankers[etype].prior_alpha = alpha
                 log.info("%s: prior-blend alpha %.2f", etype, alpha)
             predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
@@ -372,13 +479,30 @@ def predict_two_stage(
     feature_list: list[str] = RANKER_FEATURES,
     uniq_cap: int = 64,
     k_covisit: int = 100,
+    heuristic_union: bool = True,
 ) -> dict[str, np.ndarray]:
-    """Score new sessions with already-trained artifacts (submission mode)."""
+    """Score new sessions with already-trained artifacts (submission mode).
+
+    ``heuristic_union`` must match the training-time setting (it adds the
+    ``heuristic_rank_score`` feature column and the heuristic-lifted prior).
+    """
     ft_neighbors = artifacts.sgns.neighbor_table(k=20) if artifacts.sgns is not None else None
     cands = regular_candidates(
         target, artifacts.matrices, ft_neighbors=ft_neighbors,
         uniq_cap=uniq_cap, k_covisit=k_covisit,
     )
+    heur_rank = None
+    if heuristic_union:
+        from otto_tpu.models.covisitation import covisit_heuristic_predictions
+        from otto_tpu.models.frequency import FrequencyStatistics
+
+        stats = FrequencyStatistics.compute(train, n_aids=n_aids)
+        stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+        heur_preds = covisit_heuristic_predictions(
+            target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors
+        )
+        heur_rank = _union_heuristic(cands, heur_preds, None)
+        feature_list = list(feature_list) + ["heuristic_rank_score"]
     stats_store = EventStore.from_flat(
         np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
         np.concatenate([train.aid, target.aid]),
@@ -392,6 +516,12 @@ def predict_two_stage(
         inter = compute_interaction_features(
             target, cands.candidates[etype], cands.scores[etype], n_aids
         )
+        if heur_rank is not None:
+            hr = heur_rank[etype]
+            K = max(int(hr.max(initial=0)) + 1, 1)
+            inter["heuristic_rank_score"] = np.where(
+                hr >= 0, (K - hr).astype(np.float32) / K, 0.0
+            ).astype(np.float32)
         X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
         mask = cands.candidates[etype] >= 0
         model = artifacts.rankers[etype]
@@ -402,8 +532,10 @@ def predict_two_stage(
                                    [scores, b.predict(X, mask)], [0.5, 0.5])
         alpha = getattr(model, "prior_alpha", float("nan"))
         if np.isfinite(alpha):
-            C = cands.candidates[etype].shape[1]
-            prior = np.where(mask, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
+            prior = _prior_matrix(
+                cands.candidates[etype],
+                None if heur_rank is None else heur_rank[etype],
+            )
             prior_n = _blend_scores(cands.candidates[etype], [prior], [1.0])
             tower_n = _blend_scores(cands.candidates[etype], [scores], [1.0])
             tower_z = np.where(mask, tower_n, 0.0)  # avoid 0 * -inf = nan

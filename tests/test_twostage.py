@@ -181,3 +181,36 @@ def test_gbdt_engine_in_two_stage(tmp_path):
     p2 = predict_two_stage(loaded, sp.train, unseen, n_aids=300, uniq_cap=16, k_covisit=30)
     for t in p1:
         np.testing.assert_array_equal(p1[t], p2[t])
+
+
+def test_heuristic_union_and_prior():
+    """The heuristic-union machinery: rank matrix, grid widening, and the
+    lifted prior whose top-20 reproduces the heuristic list exactly."""
+    from otto_tpu.models.candidates import CandidateSet
+    from otto_tpu.models.ranker import top_k_predictions
+    from otto_tpu.twostage import (
+        _heuristic_rank_matrix,
+        _prior_matrix,
+        _union_heuristic,
+    )
+
+    cands_m = np.array([[5, 7, 9, -1], [1, 2, 3, 4]], np.int32)
+    heur = np.array([[9, 11, 5], [4, 3, 2]], np.int32)
+    rank, present = _heuristic_rank_matrix(cands_m, heur)
+    np.testing.assert_array_equal(rank, [[2, -1, 0, -1], [-1, 2, 1, 0]])
+    np.testing.assert_array_equal(present, [[True, False, True], [True, True, True]])
+
+    cs = CandidateSet(
+        session_ids=np.arange(2),
+        candidates={t: cands_m.copy() for t in ("clicks", "carts", "orders")},
+        scores={t: np.ones((2, 4), np.float32) for t in ("clicks", "carts", "orders")},
+    )
+    hr = _union_heuristic(cs, {t: heur for t in ("clicks", "carts", "orders")}, None)
+    # row 0's missing heuristic aid 11 was appended; row 1 had full coverage
+    assert cs.candidates["clicks"].shape == (2, 7)
+    assert 11 in cs.candidates["clicks"][0]
+    assert (cs.candidates["clicks"][1, 4:] == -1).all()
+    # top-k by the lifted prior == the heuristic list, in order
+    prior = _prior_matrix(cs.candidates["clicks"], hr["clicks"])
+    top = top_k_predictions(cs.candidates["clicks"], prior, k=3)
+    np.testing.assert_array_equal(top, heur)
