@@ -423,8 +423,15 @@ def covisit_heuristic_predictions(
     unique_cap: int = 64,
     chunk_sessions: int = 2048,
     mesh=None,
+    recency_host_f64: bool = False,
 ) -> dict[str, np.ndarray]:
     """Full heuristic recommender over all sessions of ``store``.
+
+    ``recency_host_f64`` routes the >=20-unique-aid sessions through the
+    vectorized host float64 accumulator
+    (:mod:`otto_tpu.models.heuristic_host`) instead of the f32 device
+    kernels — exact reference tie-break semantics (and the fast path on a
+    CPU host).
 
     stats_top: per-type global top-20 aids (frequency fill).
     ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
@@ -545,5 +552,18 @@ def covisit_heuristic_predictions(
     if len(cov_idx):
         run_route(cov_fn, cov_idx)
     if len(rec_idx):
-        run_route(rec_fn, rec_idx)
+        if recency_host_f64:
+            from otto_tpu.models.heuristic_host import recency_route_host_f64
+
+            narrow_np = {
+                kind: np.asarray(matrices.tables[kind][0][:, :narrow_k])
+                for kind in ("time_weighted", "cart_weighted", "cart_order")
+            }
+            host_preds = recency_route_host_f64(
+                store, rec_idx, narrow_np, ft_neighbors, k=k
+            )
+            for etype in EVENT_TYPES:
+                preds[etype][rec_idx] = host_preds[etype]
+        else:
+            run_route(rec_fn, rec_idx)
     return preds

@@ -113,3 +113,28 @@ def test_regular_candidates_parity(parity_setup):
             [np.allclose(f_scores[i], o_scores[i], atol=1e-4) for i in idx if f_rows[i] == o_rows[i]]
         )
         assert score_ok >= 0.99, f"{t}: score agreement {score_ok:.4f}"
+
+
+def test_recency_route_host_f64_exact(parity_setup):
+    """The float64 host accumulator must reproduce the oracle's recency-route
+    lists exactly (the f32 device route's only parity gap is tie-break drift
+    on this route — VERDICT r2 weak #5)."""
+    _, split, mats, stats, ft45 = parity_setup
+    stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+    preds = covisit_heuristic_predictions(
+        split.val_input, mats, stats_top, ft_neighbors=ft45, chunk_sessions=512,
+        recency_host_f64=True,
+    )
+
+    aid_lists, type_lists = store_to_lists(split.val_input)
+    tables = {k: table_to_dict(mats.tables[k][0], 15) for k in mats.tables}
+    freq = {t: [int(a) for a in stats.top_by_type[t]] for t in EVENT_TYPES}
+    oracle = oracle_heuristic(aid_lists, type_lists, tables, freq, neighbor_lists(ft45))
+
+    rec = np.array([len(set(a)) >= 20 for a in aid_lists])
+    assert rec.any(), "fixture must contain recency-route sessions"
+    idx = np.flatnonzero(rec)
+    for t in EVENT_TYPES:
+        f_rows = _rows_to_lists(preds[t])
+        exact = np.mean([f_rows[i] == oracle[t][i] for i in idx])
+        assert exact >= 0.999, f"{t}: recency-route exact-match {exact:.4f}"

@@ -81,6 +81,10 @@ def main() -> int:
     ap.add_argument("--platform", type=str, default="",
                     help="'cpu' pins the CPU backend (parity semantics are "
                          "platform-independent; use when the TPU tunnel is busy)")
+    ap.add_argument("--recency-host-f64", action="store_true",
+                    help="route >=20-unique sessions through the float64 host "
+                         "accumulator (exact reference tie-breaks, VERDICT r2 "
+                         "item 6)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -141,7 +145,10 @@ def main() -> int:
 
     # ---------------- heuristic: framework vs oracle ----------------------
     t0 = time.time()
-    fw = covisit_heuristic_predictions(val, mats, stats_top, ft_neighbors=ft45)
+    fw = covisit_heuristic_predictions(
+        val, mats, stats_top, ft_neighbors=ft45,
+        recency_host_f64=args.recency_host_f64,
+    )
     fw_s = time.time() - t0
     t0 = time.time()
     tables15 = {k: orc.table_to_dict(mats.tables[k][0], 15) for k in mats.tables}
