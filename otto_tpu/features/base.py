@@ -89,6 +89,36 @@ def seg_last(ids, values, n, fill=np.nan) -> np.ndarray:
     return out
 
 
+def seg_nanmean(ids, values, n) -> np.ndarray:
+    """NaN-skipping mean per group (pandas/polars null-skipping ``mean``);
+    NaN where the group has no finite value."""
+    v = np.asarray(values, np.float64)
+    ok = ~np.isnan(v)
+    c = seg_count(ids[ok], n)
+    s = seg_sum(ids[ok], v[ok], n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(c > 0, s / c, np.nan)
+
+
+def seg_nanlast(ids, values, n, fill=np.nan) -> np.ndarray:
+    """Last NON-NULL value per group (pandas ``GroupBy.last`` skipna
+    semantics), given rows in chronological order."""
+    v = np.asarray(values, np.float64)
+    ok = ~np.isnan(v)
+    out = np.full(n, fill, dtype=np.float64)
+    out[ids[ok]] = v[ok]
+    return out
+
+
+def seg_nanmax(ids, values, n) -> np.ndarray:
+    """NaN-skipping max per group; NaN where the group has no finite value."""
+    v = np.asarray(values, np.float64)
+    ok = ~np.isnan(v)
+    out = np.full(n, -np.inf)
+    np.maximum.at(out, ids[ok], v[ok])
+    return np.where(np.isfinite(out), out, np.nan)
+
+
 def seg_nunique(ids, values, n) -> np.ndarray:
     """Distinct-value count per group."""
     if len(ids) == 0:

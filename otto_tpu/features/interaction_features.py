@@ -19,7 +19,15 @@ from __future__ import annotations
 import numpy as np
 
 from otto_tpu.data.events import EventStore
-from otto_tpu.features.base import seg_max, seg_mean, seg_min, seg_std, seg_sum
+from otto_tpu.features.base import (
+    seg_max,
+    seg_mean,
+    seg_min,
+    seg_nanmax,
+    seg_nanmean,
+    seg_std,
+    seg_sum,
+)
 
 EVENT_NAMES = ("click", "cart", "order")
 
@@ -81,7 +89,11 @@ def compute_interaction_features(
     flat_sess = sess_rows[valid]
     sc = scores.reshape(-1)[valid].astype(np.float64)
     occ_f = occ.reshape(-1)[valid]
-    cum_f = np.nan_to_num(cum_last.reshape(-1)[valid], nan=0.0)
+    # cumcount_last stays NaN for never-occurring candidates: polars
+    # mean/max skip nulls (measured divergence vs the oracle otherwise —
+    # tools/feature_parity.py); sum treats nulls as 0
+    cum_f = cum_last.reshape(-1)[valid]
+    cum_f0 = np.nan_to_num(cum_f, nan=0.0)
 
     def broadcast(per_session):
         return np.where(vm, per_session[:, None], np.nan).astype(np.float64)
@@ -93,9 +105,9 @@ def compute_interaction_features(
     out["session_candidate_occurrence_count_mean"] = broadcast(seg_mean(flat_sess, occ_f, S))
     out["session_candidate_occurrence_count_sum"] = broadcast(seg_sum(flat_sess, occ_f, S))
     out["session_candidate_occurrence_count_max"] = broadcast(seg_max(flat_sess, occ_f, S))
-    out["session_candidate_cumcount_last_mean"] = broadcast(seg_mean(flat_sess, cum_f, S))
-    out["session_candidate_cumcount_last_sum"] = broadcast(seg_sum(flat_sess, cum_f, S))
-    out["session_candidate_cumcount_last_max"] = broadcast(seg_max(flat_sess, cum_f, S))
+    out["session_candidate_cumcount_last_mean"] = broadcast(seg_nanmean(flat_sess, cum_f, S))
+    out["session_candidate_cumcount_last_sum"] = broadcast(seg_sum(flat_sess, cum_f0, S))
+    out["session_candidate_cumcount_last_max"] = broadcast(seg_nanmax(flat_sess, cum_f, S))
 
     # per-candidate-aid aggregates across sessions (:99-113)
     flat_aid = cand[valid]
@@ -110,9 +122,9 @@ def compute_interaction_features(
     out["aid_session_candidate_occurrence_count_mean"] = aid_broadcast(seg_mean(flat_aid, occ_f, n_aids))
     out["aid_session_candidate_occurrence_count_sum"] = aid_broadcast(seg_sum(flat_aid, occ_f, n_aids))
     out["aid_session_candidate_occurrence_count_max"] = aid_broadcast(seg_max(flat_aid, occ_f, n_aids))
-    out["aid_session_candidate_cumcount_last_mean"] = aid_broadcast(seg_mean(flat_aid, cum_f, n_aids))
-    out["aid_session_candidate_cumcount_last_sum"] = aid_broadcast(seg_sum(flat_aid, cum_f, n_aids))
-    out["aid_session_candidate_cumcount_last_max"] = aid_broadcast(seg_max(flat_aid, cum_f, n_aids))
+    out["aid_session_candidate_cumcount_last_mean"] = aid_broadcast(seg_nanmean(flat_aid, cum_f, n_aids))
+    out["aid_session_candidate_cumcount_last_sum"] = aid_broadcast(seg_sum(flat_aid, cum_f0, n_aids))
+    out["aid_session_candidate_cumcount_last_max"] = aid_broadcast(seg_nanmax(flat_aid, cum_f, n_aids))
 
     out["candidate_scores"] = scores.astype(np.float64)
     # explicit list position (not in the reference's 54 features; GBDTs can

@@ -20,6 +20,8 @@ from otto_tpu.features.base import (
     seg_max,
     seg_mean,
     seg_min,
+    seg_nanlast,
+    seg_nanmean,
     seg_nunique,
 )
 
@@ -81,9 +83,12 @@ def compute_session_features(
     ):
         if col not in ev:
             continue
-        out[f"session_{col}_mean"] = seg_mean(sess, np.nan_to_num(ev[col]), S)
+        # pandas mean/last skip NaN (the left-joined aid_last_week_* columns
+        # are NaN for aids absent from the window) — measured divergence
+        # until the NaN-skipping variants were used (tools/feature_parity.py)
+        out[f"session_{col}_mean"] = seg_nanmean(sess, ev[col], S)
         if agg_last:
-            out[f"session_{col}_last"] = seg_last(sess, ev[col], S)
+            out[f"session_{col}_last"] = seg_nanlast(sess, ev[col], S)
 
     out["session_count_rank_pct"] = rank_pct(out["session_count"])
     out["session_aid_nunique_rank_pct"] = rank_pct(out["session_aid_nunique"])
