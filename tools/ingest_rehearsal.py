@@ -93,13 +93,23 @@ def main() -> int:
     print(f"# wrote {jsonl} ({size_mb:.0f} MB, {w_s:.0f}s)", flush=True)
 
     # ---- native parse (production path) ----------------------------------
+    from otto_tpu.data.ingest import _parse_native
+
+    t0 = time.time()
+    parsed = _parse_native(str(jsonl))
+    parse_only_s = time.time() - t0
+    if parsed is not None:
+        results["native_parse_only_s"] = round(parse_only_s, 2)
+        results["native_parse_only_events_per_s"] = round(len(parsed[0]) / parse_only_s, 0)
     t0 = time.time()
     es = read_jsonl(jsonl, ts_unit="ms")
     native_s = time.time() - t0
     results["native_parse_s"] = round(native_s, 1)
     results["native_events_per_s"] = round(es.n_events / native_s, 0)
-    print(f"# native parse: {native_s:.1f}s "
-          f"({es.n_events / native_s / 1e6:.2f}M ev/s)", flush=True)
+    print(f"# native parse+store: {native_s:.1f}s "
+          f"({es.n_events / native_s / 1e6:.2f}M ev/s; parse only "
+          f"{len(parsed[0]) / parse_only_s / 1e6 if parsed else 0:.2f}M ev/s)",
+          flush=True)
 
     assert es.n_events == store.n_events, (es.n_events, store.n_events)
     np.testing.assert_array_equal(es.aid, store.aid)
@@ -121,8 +131,10 @@ def main() -> int:
     py_s = time.time() - t0
     py_events = len(py[0])
     results["python_events_per_s"] = round(py_events / py_s, 0)
+    fast = results.get("native_parse_only_events_per_s",
+                       results["native_events_per_s"])
     results["native_vs_python_speedup"] = round(
-        results["native_events_per_s"] / results["python_events_per_s"], 1
+        fast / results["python_events_per_s"], 1
     )
     print(f"# python fallback: {py_events / py_s / 1e6:.3f}M ev/s "
           f"(native is {results['native_vs_python_speedup']}x)", flush=True)
