@@ -73,6 +73,7 @@ def build_covisitation(
     mesh=None,
     budget_rows: int | None = 64_000_000,
     per_aid_cap: int = 128,
+    stats_out: dict | None = None,
 ) -> CovisitationMatrices:
     """Build all seven matrices in one pass over the event data.
 
@@ -218,6 +219,9 @@ def build_covisitation(
     # "the chip is slow" from "the tunnel/host is slow" (REPORT.md)
     log.info("covisitation build: dispatch %.1fs, drain(fetch+merge) %.1fs",
              t_dispatch, t_drain)
+    if stats_out is not None:
+        stats_out["dispatch_s"] = round(t_dispatch, 1)
+        stats_out["drain_s"] = round(t_drain, 1)
 
     keys, weights = acc.finish()
     if not len(keys):

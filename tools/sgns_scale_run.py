@@ -1,0 +1,176 @@
+"""SGNS training at full OTTO table scale (VERDICT r2 item 8).
+
+The 1,855,604 x 32 row-sharded embedding table had only ever trained at
+dryrun shapes.  Two phases:
+
+  single   train_sgns (the fastText replacement, models/fasttext/config.yaml
+           semantics) for one real epoch at n_aids = 1.86M on the current
+           backend (TPU chip or CPU), recording pairs/s and lookups/s
+           (each pair = 2 + negatives row gathers + 2 row updates).
+  sharded  make_sharded_sgns_step on a data x model mesh (8 virtual CPU
+           devices by default): full 1.86M-row tables row-sharded over
+           ``model``, real skip-gram pairs sharded over ``data``, one epoch
+           of steps, loss trajectory + lookups/s.
+
+Usage:
+  python tools/sgns_scale_run.py --phases single --platform tpu
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/sgns_scale_run.py --phases sharded --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+N_AIDS = 1_855_604
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", type=str, default="single")
+    ap.add_argument("--events", type=float, default=1.5e6)
+    ap.add_argument("--aids", type=int, default=N_AIDS)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--negatives", type=int, default=8)
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="cap sharded-phase steps (0 = full epoch)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--out", type=str, default="SGNS_SCALE.json")
+    args = ap.parse_args()
+    phases = set(args.phases.split(","))
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
+    from otto_tpu.config import SGNSConfig
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.models.embeddings import skipgram_pairs
+
+    results: dict = {"config": vars(args), "platform": jax.default_backend(),
+                     "n_devices": jax.device_count()}
+    out_path = pathlib.Path(args.out)
+
+    def flush():
+        out_path.write_text(json.dumps(results, indent=1))
+
+    n_sessions = int(args.events / 13)
+    t0 = time.time()
+    store = synthetic_events_v2(n_sessions=n_sessions, n_aids=args.aids,
+                                seed=args.seed)
+    results["n_events"] = int(store.n_events)
+    print(f"# data: {store.n_events} events over {args.aids} aids "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    if "single" in phases:
+        from otto_tpu.models.embeddings import train_sgns
+
+        cfg = SGNSConfig(epochs=args.epochs, negatives=args.negatives,
+                         batch_centers=8192, steps_per_call=8)
+        t0 = time.time()
+        model = train_sgns(store, args.aids, cfg)
+        train_s = time.time() - t0
+        # pair count of one epoch (resample to measure)
+        rng = np.random.default_rng(cfg.seed)
+        counts = np.bincount(store.aid, minlength=args.aids).astype(np.float64)
+        c, _ = skipgram_pairs(store, cfg.window, rng,
+                              subsample_t=cfg.subsample_t, counts=counts)
+        pairs_per_epoch = len(c)
+        pairs_s = pairs_per_epoch * args.epochs / train_s
+        results["single"] = {
+            "table_rows": args.aids,
+            "epochs": args.epochs,
+            "pairs_per_epoch": int(pairs_per_epoch),
+            "train_s": round(train_s, 1),
+            "pairs_per_s": round(pairs_s, 0),
+            "lookups_per_s": round(pairs_s * (2 + cfg.negatives), 0),
+            "emb_finite": bool(np.isfinite(np.asarray(model.w_in[:1000])).all()),
+        }
+        print(f"# single: {train_s:.0f}s for {args.epochs} epoch(s) "
+              f"({pairs_s/1e3:.1f}k pairs/s, "
+              f"{pairs_s*(2+cfg.negatives)/1e6:.2f}M lookups/s)", flush=True)
+        flush()
+
+    if "sharded" in phases:
+        from otto_tpu.config import MeshConfig
+        from otto_tpu.parallel import make_sharded_sgns_step
+        from otto_tpu.parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        model_size = 4 if n_dev % 4 == 0 else n_dev
+        data_size = n_dev // model_size
+        mesh = make_mesh(MeshConfig(data_parallel=data_size,
+                                    model_parallel=model_size))
+        rows = -(-args.aids // model_size) * model_size
+        d = 32
+        rng = np.random.default_rng(args.seed)
+        w_in = jnp.asarray(rng.uniform(-1 / d, 1 / d, (rows, d)).astype(np.float32))
+        w_out = jnp.zeros((rows, d), jnp.float32)
+        acc_in = jnp.zeros((rows, d), jnp.float32)
+        acc_out = jnp.zeros((rows, d), jnp.float32)
+        step = make_sharded_sgns_step(mesh, n_negatives=args.negatives)
+
+        counts = np.bincount(store.aid, minlength=args.aids).astype(np.float64)
+        c, x = skipgram_pairs(store, 10, rng, subsample_t=1e-4, counts=counts)
+        order = rng.permutation(len(c))
+        c, x = c[order], x[order]
+        B = 8192 * data_size
+        n_steps = len(c) // B
+        if args.max_steps:
+            n_steps = min(n_steps, args.max_steps)
+        p = counts**0.75
+        p /= p.sum()
+        losses = []
+        t0 = time.time()
+        for i in range(n_steps):
+            sl = slice(i * B, (i + 1) * B)
+            negs = rng.choice(args.aids, size=(B, args.negatives), p=p)
+            w_in, w_out, acc_in, acc_out, loss = step(
+                w_in, w_out, acc_in, acc_out,
+                jnp.asarray(c[sl].astype(np.int32)),
+                jnp.asarray(x[sl].astype(np.int32)),
+                jnp.asarray(negs.astype(np.int32)),
+                jnp.float32(0.05),
+            )
+            if i % 50 == 0 or i == n_steps - 1:
+                losses.append(round(float(loss) / B, 4))
+                print(f"# sharded step {i}/{n_steps}: loss/pair {losses[-1]}",
+                      flush=True)
+        train_s = time.time() - t0
+        pairs_s = n_steps * B / train_s
+        results["sharded"] = {
+            "mesh": [data_size, model_size],
+            "table_rows": int(rows),
+            "steps": int(n_steps),
+            "batch": int(B),
+            "train_s": round(train_s, 1),
+            "pairs_per_s": round(pairs_s, 0),
+            "lookups_per_s": round(pairs_s * (2 + args.negatives), 0),
+            "loss_trajectory": losses,
+            "loss_decreased": bool(losses[-1] < losses[0]) if len(losses) > 1 else None,
+        }
+        print(f"# sharded: {n_steps} steps in {train_s:.0f}s "
+              f"({pairs_s/1e3:.1f}k pairs/s on {n_dev} devices)", flush=True)
+        flush()
+
+    print(f"# wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
