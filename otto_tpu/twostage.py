@@ -275,6 +275,7 @@ def run_two_stage(
     selection_fraction: float = 0.5,
     selection_seed: int = 17,
     heuristic_union: bool = True,
+    heuristic_preds: dict[str, np.ndarray] | None = None,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
@@ -339,14 +340,16 @@ def run_two_stage(
         # ordering as a feature + the blend prior: two-stage then dominates
         # the heuristic by construction (alpha = 0 recovers it exactly) and
         # any selected alpha > 0 is measured reranker lift over it
-        from otto_tpu.models.covisitation import covisit_heuristic_predictions
-        from otto_tpu.models.frequency import FrequencyStatistics
+        heur_preds = heuristic_preds
+        if heur_preds is None:
+            from otto_tpu.models.covisitation import covisit_heuristic_predictions
+            from otto_tpu.models.frequency import FrequencyStatistics
 
-        stats = FrequencyStatistics.compute(train, n_aids=n_aids)
-        stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
-        heur_preds = covisit_heuristic_predictions(
-            target, matrices, stats_top, ft_neighbors=ft_neighbors
-        )
+            stats = FrequencyStatistics.compute(train, n_aids=n_aids)
+            stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+            heur_preds = covisit_heuristic_predictions(
+                target, matrices, stats_top, ft_neighbors=ft_neighbors
+            )
         heur_rank = _union_heuristic(cands, heur_preds, labels)
         feature_list = list(feature_list) + ["heuristic_rank_score"]
     max_recall = cands.max_recall_report(labels) if labels is not None else {}

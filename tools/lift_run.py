@@ -52,6 +52,10 @@ def main() -> int:
                          "faithful) or the listwise tower (fast on CPU; shown "
                          "GBDT-class on identical features, REPORT.md)")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--recency-host-f64", action="store_true",
+                    help="serve the heuristic's recency route on the host "
+                         "float64 accumulator (fewer device programs; exact "
+                         "reference tie-breaks)")
     ap.add_argument("--save-matrices", type=str, default="")
     ap.add_argument("--load-matrices", type=str, default="")
     ap.add_argument("--skip-heuristic", action="store_true",
@@ -129,7 +133,10 @@ def main() -> int:
     heur_preds = None
     if not args.skip_heuristic:
         t0 = time.time()
-        heur_preds = covisit_heuristic_predictions(split.val_input, mats, stats_top)
+        heur_preds = covisit_heuristic_predictions(
+            split.val_input, mats, stats_top,
+            recency_host_f64=args.recency_host_f64,
+        )
         rep = evaluate_predictions(
             split.val_labels, heur_preds["clicks"], heur_preds["carts"], heur_preds["orders"]
         )
@@ -182,6 +189,7 @@ def main() -> int:
         ranker_config=gcfg,
         matrices=mats,
         k_covisit=args.k_covisit,
+        heuristic_preds=heur_preds,
     )
     _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
 
