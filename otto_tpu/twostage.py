@@ -342,13 +342,18 @@ def run_two_stage(
         # any selected alpha > 0 is measured reranker lift over it
         heur_preds = heuristic_preds
         if heur_preds is None:
+            import jax
+
             from otto_tpu.models.covisitation import covisit_heuristic_predictions
             from otto_tpu.models.frequency import FrequencyStatistics
 
             stats = FrequencyStatistics.compute(train, n_aids=n_aids)
             stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
             heur_preds = covisit_heuristic_predictions(
-                target, matrices, stats_top, ft_neighbors=ft_neighbors
+                target, matrices, stats_top, ft_neighbors=ft_neighbors,
+                # on a CPU host the f64 accumulator is both faster and
+                # tie-break-exact; the device kernels remain the TPU path
+                recency_host_f64=jax.default_backend() == "cpu",
             )
         heur_rank = _union_heuristic(cands, heur_preds, labels)
         feature_list = list(feature_list) + ["heuristic_rank_score"]
@@ -496,13 +501,16 @@ def predict_two_stage(
     )
     heur_rank = None
     if heuristic_union:
+        import jax
+
         from otto_tpu.models.covisitation import covisit_heuristic_predictions
         from otto_tpu.models.frequency import FrequencyStatistics
 
         stats = FrequencyStatistics.compute(train, n_aids=n_aids)
         stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
         heur_preds = covisit_heuristic_predictions(
-            target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors
+            target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors,
+            recency_host_f64=jax.default_backend() == "cpu",
         )
         heur_rank = _union_heuristic(cands, heur_preds, None)
         feature_list = list(feature_list) + ["heuristic_rank_score"]
