@@ -62,6 +62,10 @@ def main() -> int:
     ap.add_argument("--events", type=float, default=2e8)
     ap.add_argument("--aids", type=int, default=1_855_604)
     ap.add_argument("--serve-sessions", type=int, default=1_000_000)
+    ap.add_argument("--chunk-sessions", type=int, default=2048,
+                    help="serving chunk size; smaller chunks shrink the "
+                         "per-program sort widths whose remote compile "
+                         "dominates first-run cost on the tunneled platform")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default="")
     ap.add_argument("--budget-rows", type=float, default=96e6)
@@ -210,7 +214,9 @@ def main() -> int:
         flush()
 
         t0 = time.time()
-        preds = covisit_heuristic_predictions(serve_store, mats, stats_top)
+        preds = covisit_heuristic_predictions(
+            serve_store, mats, stats_top, chunk_sessions=args.chunk_sessions
+        )
         heur_s = time.time() - t0
         results["serve_heuristic"] = {
             "sessions": n_serve,
@@ -223,7 +229,8 @@ def main() -> int:
         flush()
 
         t0 = time.time()
-        cands = regular_candidates(serve_store, mats)
+        cands = regular_candidates(serve_store, mats,
+                                   chunk_sessions=args.chunk_sessions)
         cand_s = time.time() - t0
         results["serve_candgen"] = {
             "sessions": n_serve,
