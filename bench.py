@@ -92,7 +92,10 @@ def e2e_two_stage_bench():
     stats = FrequencyStatistics.compute(split.train, n_aids=n_aids)
     stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
     t0 = time.perf_counter()
-    covisit_heuristic_predictions(split.val_input, mats, stats_top)
+    covisit_heuristic_predictions(
+        split.val_input, mats, stats_top,
+        chunk_sessions=int(os.environ.get("BENCH_E2E_CHUNK", 512)),
+    )
     fw_serve_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     aid_lists, type_lists = orc.store_to_lists(split.val_input)
@@ -120,6 +123,9 @@ def e2e_two_stage_bench():
     art = run_two_stage(
         split.train, split.val_input, n_aids, labels=split.val_labels,
         ranker_config=rcfg, matrices=mats,
+        # 512-session chunks keep the serving programs' remote compiles
+        # tractable on the tunneled TPU (REPORT.md round-3 serving notes)
+        chunk_sessions=int(os.environ.get("BENCH_E2E_CHUNK", 512)),
     )
     stages["two_stage_s"] = round(time.perf_counter() - t0, 1)
 

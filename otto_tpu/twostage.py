@@ -276,6 +276,7 @@ def run_two_stage(
     selection_seed: int = 17,
     heuristic_union: bool = True,
     heuristic_preds: dict[str, np.ndarray] | None = None,
+    chunk_sessions: int = 2048,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
@@ -333,6 +334,7 @@ def run_two_stage(
         uniq_cap=uniq_cap,
         wide_k=min(covisit_config.top_k_wide, matrices.tables["time_weighted"][0].shape[1]),
         k_covisit=k_covisit,
+        chunk_sessions=chunk_sessions,
     )
     heur_rank = None
     if heuristic_union:
@@ -351,6 +353,7 @@ def run_two_stage(
             stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
             heur_preds = covisit_heuristic_predictions(
                 target, matrices, stats_top, ft_neighbors=ft_neighbors,
+                chunk_sessions=chunk_sessions,
                 # on a CPU host the f64 accumulator is both faster and
                 # tie-break-exact; the device kernels remain the TPU path
                 recency_host_f64=jax.default_backend() == "cpu",

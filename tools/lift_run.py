@@ -52,6 +52,9 @@ def main() -> int:
                          "faithful) or the listwise tower (fast on CPU; shown "
                          "GBDT-class on identical features, REPORT.md)")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--chunk-sessions", type=int, default=2048,
+                    help="serving chunk size (512 keeps the route programs' "
+                         "remote compiles tractable on the tunneled TPU)")
     ap.add_argument("--recency-host-f64", action="store_true",
                     help="serve the heuristic's recency route on the host "
                          "float64 accumulator (fewer device programs; exact "
@@ -135,6 +138,7 @@ def main() -> int:
         t0 = time.time()
         heur_preds = covisit_heuristic_predictions(
             split.val_input, mats, stats_top,
+            chunk_sessions=args.chunk_sessions,
             recency_host_f64=args.recency_host_f64,
         )
         rep = evaluate_predictions(
@@ -153,7 +157,7 @@ def main() -> int:
     t0 = time.time()
     cands = regular_candidates(
         split.val_input, mats, labels=split.val_labels, k_covisit=args.k_covisit,
-        wide_k=wide_k,
+        wide_k=wide_k, chunk_sessions=args.chunk_sessions,
     )
     prior_preds = {}
     for etype in EVENT_TYPES:
@@ -190,6 +194,7 @@ def main() -> int:
         matrices=mats,
         k_covisit=args.k_covisit,
         heuristic_preds=heur_preds,
+        chunk_sessions=args.chunk_sessions,
     )
     _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
 
