@@ -55,8 +55,11 @@ def e2e_two_stage_bench():
     inputs — an honest single-machine baseline ratio, since the reference
     publishes no numbers (BASELINE.md).
     """
-    n_sessions = int(os.environ.get("BENCH_E2E_SESSIONS", 60_000))
-    n_aids = int(os.environ.get("BENCH_E2E_AIDS", 15_000))
+    # 20k aids + chunk 512 matches the program shapes the round-3 TPU runs
+    # compiled (lift_run at 100k sessions): the device attempt then runs on
+    # a warm compile cache instead of wedging the remote compiler
+    n_sessions = int(os.environ.get("BENCH_E2E_SESSIONS", 50_000))
+    n_aids = int(os.environ.get("BENCH_E2E_AIDS", 20_000))
     engine = os.environ.get("BENCH_E2E_ENGINE", "gbdt")
 
     import jax
@@ -452,7 +455,7 @@ def main():
 
     # ---------------- phase 2: end-to-end two-stage pipeline -------------
     if not os.environ.get("BENCH_SKIP_E2E"):
-        budget_s = int(os.environ.get("BENCH_E2E_TIMEOUT", 1500))
+        budget_s = int(os.environ.get("BENCH_E2E_TIMEOUT", 2000))
         e2e = _run_child("e2e_two_stage_bench()", "E2E_JSON:", budget_s, {})
         if not e2e:
             # device attempt failed (wedged remote compiler / held tunnel):
