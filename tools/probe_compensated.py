@@ -64,7 +64,7 @@ def main():
 
     for precision in ("single", "compensated"):
         r = PallasRetriever(items, metric="euclidean", precision=precision)
-        for tile in (128, 256):
+        for tile in (128, 256, 512):
             def step(q, r=r, tile=tile):
                 s, i = r.topk(q, k=K, tile=tile, rounds=6)
                 return q, i
