@@ -214,3 +214,37 @@ def test_heuristic_union_and_prior():
     prior = _prior_matrix(cs.candidates["clicks"], hr["clicks"])
     top = top_k_predictions(cs.candidates["clicks"], prior, k=3)
     np.testing.assert_array_equal(top, heur)
+
+
+def test_selection_disjoint_report():
+    """run_two_stage must select alpha/ES on the selection half only and
+    report the complement separately (VERDICT r2 weak #2)."""
+    from otto_tpu.config import RankerConfig
+    from otto_tpu.data.splits import split_by_time
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.eval.harness import evaluate_predictions
+    from otto_tpu.twostage import run_two_stage
+
+    store = synthetic_events_v2(n_sessions=1500, n_aids=800, seed=21)
+    sp = split_by_time(store, val_fraction=0.25, seed=21)
+    art = run_two_stage(
+        sp.train, sp.val_input, 800, labels=sp.val_labels,
+        ranker_config=RankerConfig(hidden_dims=(32,), n_folds=2, epochs=1,
+                                   batch_sessions=128),
+        selection_fraction=0.5, selection_seed=3,
+    )
+    S = sp.val_input.n_sessions
+    assert art.selection_mask is not None and art.selection_mask.shape == (S,)
+    assert 0 < art.selection_mask.sum() < S
+    hold = np.flatnonzero(~art.selection_mask)
+    # report_disjoint equals a manual evaluation of the held-out rows
+    manual = evaluate_predictions(
+        sp.val_labels.take(hold),
+        art.predictions["clicks"][hold],
+        art.predictions["carts"][hold],
+        art.predictions["orders"][hold],
+    )
+    assert abs(art.report_disjoint.weighted - manual.weighted) < 1e-9
+    # the deterministic seed reproduces the mask
+    rng_mask = np.random.default_rng(3).random(S) < 0.5
+    np.testing.assert_array_equal(art.selection_mask, rng_mask)
