@@ -428,6 +428,7 @@ def covisit_heuristic_predictions(
     chunk_sessions: int = 2048,
     mesh=None,
     recency_host_f64: bool = False,
+    covisit_host: bool = False,
 ) -> dict[str, np.ndarray]:
     """Full heuristic recommender over all sessions of ``store``.
 
@@ -435,7 +436,9 @@ def covisit_heuristic_predictions(
     vectorized host float64 accumulator
     (:mod:`otto_tpu.models.heuristic_host`) instead of the f32 device
     kernels — exact reference tie-break semantics (and the fast path on a
-    CPU host).
+    CPU host).  ``covisit_host`` does the same for the covisitation-vote
+    route (unit votes — exact by construction); with both set the whole
+    heuristic serves host-side with no device dispatch.
 
     stats_top: per-type global top-20 aids (frequency fill).
     ft_neighbors: optional [n_aids, NN] nearest-neighbor table from the
@@ -554,7 +557,22 @@ def covisit_heuristic_predictions(
         rec_fn = lambda a, t, lens, cap: _recency_route(a, t, lens, tables, cap, narrow_k, k)
 
     if len(cov_idx):
-        run_route(cov_fn, cov_idx)
+        if covisit_host:
+            from otto_tpu.models.heuristic_host import covisit_route_host
+
+            narrow5 = {
+                kind: np.asarray(matrices.tables[kind][0][:, :narrow_k])
+                for kind in matrices.tables
+            }
+            host_cov = covisit_route_host(
+                store, cov_idx, narrow5,
+                {t: np.asarray(stats_top[t]) for t in EVENT_TYPES},
+                ft_neighbors, k=k,
+            )
+            for etype in EVENT_TYPES:
+                preds[etype][cov_idx] = host_cov[etype]
+        else:
+            run_route(cov_fn, cov_idx)
     if len(rec_idx):
         if recency_host_f64:
             from otto_tpu.models.heuristic_host import recency_route_host_f64

@@ -188,3 +188,149 @@ def recency_route_host_f64(
             R, k,
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Covisitation-vote route, host-vectorized (src/covisitation/inference.py:
+# 204-247): unit-vote Counter over chained neighbor lists, top-20 minus the
+# session's aids, then the session-aids -> votes -> global-frequency padding
+# cascade.  Same lexsort + segmented-reduce machinery as the recency route;
+# unit votes make it precision-exact by construction (integer counts).
+# ---------------------------------------------------------------------------
+
+
+def _recency_first_unique(sess: np.ndarray, aid: np.ndarray, pos: np.ndarray):
+    """Per-session unique aids ordered by LAST occurrence, most recent first
+    (``list(dict.fromkeys(aids[::-1]))`` — inference.py:147).  Returns
+    (sess, aid, rank) with rank 0 = most recent."""
+    order = np.lexsort((pos, aid, sess))
+    s, a, p = sess[order], aid[order], pos[order]
+    head = np.ones(len(s), bool)
+    head[1:] = (s[1:] != s[:-1]) | (a[1:] != a[:-1])
+    starts = np.flatnonzero(head)
+    ends = np.append(starts[1:], len(s)) - 1
+    g_s, g_a, g_last = s[starts], a[starts], p[ends]
+    r_order = np.lexsort((-g_last, g_s))
+    rs, ra = g_s[r_order], g_a[r_order]
+    rhead = np.ones(len(rs), bool)
+    if len(rs):
+        rhead[1:] = rs[1:] != rs[:-1]
+    rstarts = np.flatnonzero(rhead)
+    rank = np.arange(len(rs), dtype=np.int64) - np.repeat(
+        rstarts, np.diff(np.append(rstarts, len(rs)))
+    )
+    return rs, ra, rank
+
+
+def _ragged_to_padded(sess, val, rank, n_sessions, width):
+    out = np.full((n_sessions, width), -1, np.int32)
+    keep = rank < width
+    out[sess[keep], rank[keep]] = val[keep]
+    return out
+
+
+def covisit_route_host(
+    store: EventStore,
+    cov_idx: np.ndarray,
+    narrow_tables: dict[str, np.ndarray],
+    freq_top: dict[str, np.ndarray],
+    ft_neighbors: np.ndarray | None = None,
+    k: int = 20,
+) -> dict[str, np.ndarray]:
+    """Covisitation-vote route over the selected (< 20 distinct aids)
+    sessions, host-vectorized.  ``narrow_tables`` must hold all five voting
+    kinds (time_weighted, click_weighted, cart_weighted, click_cart,
+    cart_order) as int32 [n_aids, 15] padded -1."""
+    cov_idx = np.asarray(cov_idx, dtype=np.int64)
+    R = len(cov_idx)
+    if R == 0:
+        return {t: np.full((0, k), -1, np.int32) for t in EVENT_TYPES}
+
+    ev, sess, pos, counts = _flat_event_indices(store.offsets, cov_idx)
+    aid = store.aid[ev].astype(np.int64)
+    etype_ev = store.type[ev]
+
+    u_s, u_a, u_rank = _recency_first_unique(sess, aid, pos)
+    cc_s, cc_a = _typed_unique(sess, aid, etype_ev <= 1)  # click_cart subset
+
+    ft_sess = ft_aid = ft_order = None
+    if ft_neighbors is not None:
+        last_aid = store.aid[store.offsets[cov_idx + 1] - 1].astype(np.int64)
+        rows = ft_neighbors[last_aid]
+        NN = rows.shape[1]
+        ft_sess = np.repeat(np.arange(R, dtype=np.int64), NN)
+        ft_aid = rows.reshape(-1).astype(np.int64)
+        ft_order = np.tile(np.arange(NN, dtype=np.int64), R)
+        ok = ft_aid >= 0
+        ft_sess, ft_aid, ft_order = ft_sess[ok], ft_aid[ok], ft_order[ok]
+
+    # chains per list (order matters for the Counter tie-break; the uniq
+    # chain iterates in recency-first order — sort by (sess, rank) first)
+    r_order = np.lexsort((u_rank, u_s))
+    l_time = _chain_votes(u_s[r_order], u_a[r_order], narrow_tables["time_weighted"])
+    chains = {
+        "clickw": _chain_votes(cc_s, cc_a, narrow_tables["click_weighted"]),
+        "cartw": _chain_votes(cc_s, cc_a, narrow_tables["cart_weighted"]),
+        "clickcart": _chain_votes(cc_s, cc_a, narrow_tables["click_cart"]),
+        "cartorder": _chain_votes(cc_s, cc_a, narrow_tables["cart_order"]),
+    }
+    seq_order = {
+        "clicks": ("time", "clickw", "cartw", "clickcart", "cartorder"),
+        "carts": ("time", "cartw", "cartorder"),
+        "orders": ("time", "cartw", "cartorder"),
+    }
+    all_chains = {"time": l_time, **chains}
+    # width bound per chain segment for disjoint insertion offsets
+    max_chain = max(
+        (int(c[2].max()) + 1 if len(c[0]) else 1) for c in all_chains.values()
+    )
+
+    out = {}
+    uniq_padded = _ragged_to_padded(u_s, u_a.astype(np.int32), u_rank, R, k)
+    n_uniq = np.minimum(np.bincount(u_s, minlength=R), k).astype(np.int64)
+    for t in EVENT_TYPES:
+        parts_s, parts_a, parts_q = [], [], []
+        base = 0
+        for name in seq_order[t]:
+            cs, ca, co = all_chains[name]
+            parts_s.append(cs)
+            parts_a.append(ca)
+            parts_q.append(base + co)
+            base += max_chain
+        if ft_sess is not None:
+            parts_s.append(ft_sess)
+            parts_a.append(ft_aid)
+            parts_q.append(base + ft_order)
+        vs = np.concatenate(parts_s)
+        va = np.concatenate(parts_a)
+        vq = np.concatenate(parts_q)
+        top = _topk_by_weight(vs, va, np.ones(len(vs)), vq, R, k)
+
+        # exclusion AFTER top-k (inference.py:229), then the cascade:
+        # uniq -> filtered votes -> global frequency
+        member = (top[:, :, None] == uniq_padded[:, None, :]) & (
+            uniq_padded >= 0
+        )[:, None, :]
+        top_f = np.where(member.any(axis=2) | (top < 0), -1, top)
+        # left-compact the filtered votes
+        keypos = np.where(top_f >= 0, np.arange(k)[None, :], k + 1)
+        order2 = np.argsort(keypos, axis=1, kind="stable")
+        top_c = np.take_along_axis(top_f, order2, axis=1)
+
+        pred = np.full((R, k), -1, np.int32)
+        col = np.arange(k)[None, :]
+        use_u = col < n_uniq[:, None]
+        pred = np.where(use_u, uniq_padded, pred)
+        v_col = col - n_uniq[:, None]
+        n_votes = (top_c >= 0).sum(axis=1)
+        use_v = (~use_u) & (v_col < n_votes[:, None])
+        v_idx = np.clip(v_col, 0, k - 1)
+        pred = np.where(use_v, np.take_along_axis(top_c, v_idx, axis=1), pred)
+        f_col = col - n_uniq[:, None] - np.minimum(
+            n_votes, np.maximum(k - n_uniq, 0)
+        )[:, None]
+        use_f = (~use_u) & (~use_v)
+        filler = np.asarray(freq_top[t][:k], dtype=np.int32)
+        pred = np.where(use_f, filler[np.clip(f_col, 0, k - 1)], pred)
+        out[t] = pred
+    return out

@@ -354,9 +354,10 @@ def run_two_stage(
             heur_preds = covisit_heuristic_predictions(
                 target, matrices, stats_top, ft_neighbors=ft_neighbors,
                 chunk_sessions=chunk_sessions,
-                # on a CPU host the f64 accumulator is both faster and
-                # tie-break-exact; the device kernels remain the TPU path
+                # on a CPU host the vectorized accumulators are both faster
+                # and tie-break-exact; the device kernels remain the TPU path
                 recency_host_f64=jax.default_backend() == "cpu",
+                covisit_host=jax.default_backend() == "cpu",
             )
         heur_rank = _union_heuristic(cands, heur_preds, labels)
         feature_list = list(feature_list) + ["heuristic_rank_score"]
@@ -514,6 +515,7 @@ def predict_two_stage(
         heur_preds = covisit_heuristic_predictions(
             target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors,
             recency_host_f64=jax.default_backend() == "cpu",
+            covisit_host=jax.default_backend() == "cpu",
         )
         heur_rank = _union_heuristic(cands, heur_preds, None)
         feature_list = list(feature_list) + ["heuristic_rank_score"]

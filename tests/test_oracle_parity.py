@@ -138,3 +138,27 @@ def test_recency_route_host_f64_exact(parity_setup):
         f_rows = _rows_to_lists(preds[t])
         exact = np.mean([f_rows[i] == oracle[t][i] for i in idx])
         assert exact >= 0.999, f"{t}: recency-route exact-match {exact:.4f}"
+
+
+def test_covisit_route_host_exact(parity_setup):
+    """The host-vectorized covisit-vote route must reproduce the oracle's
+    lists exactly (unit votes are integer counts — no float ties)."""
+    _, split, mats, stats, ft45 = parity_setup
+    from otto_tpu.models.heuristic_host import covisit_route_host
+    from otto_tpu.models.covisitation import session_unique_counts
+
+    narrow = {k: np.asarray(mats.tables[k][0][:, :15]) for k in mats.tables}
+    freq = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+    counts = session_unique_counts(split.val_input)
+    cov_idx = np.flatnonzero(counts < 20)
+    preds = covisit_route_host(split.val_input, cov_idx, narrow, freq, ft45)
+
+    aid_lists, type_lists = store_to_lists(split.val_input)
+    tables = {k: table_to_dict(mats.tables[k][0], 15) for k in mats.tables}
+    freq_l = {t: [int(a) for a in stats.top_by_type[t]] for t in EVENT_TYPES}
+    oracle = oracle_heuristic(aid_lists, type_lists, tables, freq_l, neighbor_lists(ft45))
+
+    for t in EVENT_TYPES:
+        f_rows = _rows_to_lists(preds[t])
+        exact = np.mean([f_rows[j] == oracle[t][i] for j, i in enumerate(cov_idx)])
+        assert exact >= 0.999, f"{t}: covisit-route host exact-match {exact:.4f}"
