@@ -95,9 +95,13 @@ def e2e_two_stage_bench():
     stats = FrequencyStatistics.compute(split.train, n_aids=n_aids)
     stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
     t0 = time.perf_counter()
+    on_cpu = jax.default_backend() == "cpu"
     covisit_heuristic_predictions(
         split.val_input, mats, stats_top,
         chunk_sessions=int(os.environ.get("BENCH_E2E_CHUNK", 512)),
+        # production serving configuration per platform: vectorized host
+        # routes on CPU (160x the chunked XLA path), device kernels on TPU
+        recency_host_f64=on_cpu, covisit_host=on_cpu,
     )
     fw_serve_s = time.perf_counter() - t0
     t0 = time.perf_counter()
