@@ -265,6 +265,207 @@ def _sgns_multi_step(w_in, w_out, acc_in, acc_out, centers, contexts, neg_cdf,
     return w_in, w_out, acc_in, acc_out, key, jnp.mean(losses)
 
 
+def _sgns_weighted_step(w_in, w_out, acc_in, acc_out, centers, contexts,
+                        weight, neg_cdf, lr, key, n_negatives: int):
+    """SGNS step with a per-pair weight column (0 = rejected sample).
+
+    Identical math to :func:`_sgns_step_impl` with every pair's loss and
+    gradient scaled by ``weight`` — the masked form the device-resident pair
+    sampler needs (rejected draws carry weight 0 and scatter zero rows)."""
+    B = centers.shape[0]
+    u = jax.random.uniform(key, (B, n_negatives))
+    negatives = jnp.searchsorted(neg_cdf, u).astype(jnp.int32)
+
+    c_rows = w_in[centers]
+    pos_rows = w_out[contexts]
+    neg_rows = w_out[negatives]
+    pos_logit = jnp.sum(c_rows * pos_rows, axis=1)
+    neg_logit = jnp.einsum("bd,bnd->bn", c_rows, neg_rows)
+    loss = jnp.sum(weight * (-jax.nn.log_sigmoid(pos_logit))) + jnp.sum(
+        weight[:, None] * (-jax.nn.log_sigmoid(-neg_logit))
+    )
+
+    g_pos = weight * (jax.nn.sigmoid(pos_logit) - 1.0)
+    g_neg = weight[:, None] * jax.nn.sigmoid(neg_logit)
+    g_c = g_pos[:, None] * pos_rows + jnp.einsum("bn,bnd->bd", g_neg, neg_rows)
+    g_ctx = g_pos[:, None] * c_rows
+    g_negrows = g_neg[:, :, None] * c_rows[:, None, :]
+
+    out_idx = jnp.concatenate([contexts, negatives.reshape(-1)])
+    g_out_rows = jnp.concatenate([g_ctx, g_negrows.reshape(-1, g_ctx.shape[1])])
+
+    acc_in = acc_in.at[centers].add(g_c * g_c)
+    acc_out = acc_out.at[out_idx].add(g_out_rows * g_out_rows)
+    w_in = w_in.at[centers].add(-lr * g_c * jax.lax.rsqrt(acc_in[centers] + 1e-10))
+    w_out = w_out.at[out_idx].add(
+        -lr * g_out_rows * jax.lax.rsqrt(acc_out[out_idx] + 1e-10)
+    )
+    return w_in, w_out, acc_in, acc_out, loss / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "batch", "window", "n_negatives"),
+         donate_argnums=(0, 1, 2, 3))
+def _sgns_device_chunk(w_in, w_out, acc_in, acc_out, aid_k, sidx_k, m,
+                       neg_cdf, lrs, key, *, n_steps: int, batch: int,
+                       window: int, n_negatives: int):
+    """``n_steps`` SGNS steps with pairs SAMPLED ON DEVICE — zero per-step
+    host traffic (VERDICT r3 item 5: the host-paired path ships 8 bytes/pair
+    over the host link, which on a tunneled device caps throughput at
+    link-bandwidth/8 pairs/s regardless of the chip).
+
+    ``aid_k``/``sidx_k`` are the subsampled+compacted event stream (resident;
+    padded to a fixed length, ``m`` = live prefix).  Each step draws ``batch``
+    (event, offset, direction) triples and keeps draws whose context lies in
+    the same session within a per-draw reduced window ``b ~ U{1..window}`` —
+    the same marginal pair distribution as :func:`skipgram_pairs` (each valid
+    (center, context) at distance d is produced w.p. proportional to
+    P(b >= d) = (window-d+1)/window); rejected draws carry weight 0.
+    I.i.d. sampling replaces the host path's epoch-exact enumeration — the
+    stochastic-equivalence word2vec itself relies on.
+    """
+    n_pad = aid_k.shape[0]
+
+    def body(carry, inp):
+        w_in, w_out, acc_in, acc_out, key = carry
+        lr = inp
+        key, k_e, k_d, k_dir, k_neg = jax.random.split(key, 5)
+        u = jax.random.uniform(k_e, (batch,))
+        e = jnp.minimum((u * m).astype(jnp.int32), m - 1)
+        d = jax.random.randint(k_d, (batch,), 1, window + 1)
+        sign = jnp.where(jax.random.bernoulli(k_dir, 0.5, (batch,)), 1, -1)
+        # the reduced-window acceptance: an i.i.d. b ~ U{1..window} per draw
+        b = jax.random.randint(jax.random.fold_in(k_d, 1), (batch,), 1, window + 1)
+        ctx_e = e + sign * d
+        in_range = (ctx_e >= 0) & (ctx_e < m)
+        ctx_e = jnp.clip(ctx_e, 0, n_pad - 1)
+        ok = in_range & (b >= d) & (sidx_k[e] == sidx_k[ctx_e])
+        centers = aid_k[e]
+        contexts = aid_k[ctx_e]
+        ok = ok & (centers != contexts)
+        w = ok.astype(jnp.float32)
+        # rejected draws point at row 0 with weight 0 (zero gradient rows)
+        centers = jnp.where(ok, centers, 0)
+        contexts = jnp.where(ok, contexts, 0)
+        w_in, w_out, acc_in, acc_out, loss = _sgns_weighted_step(
+            w_in, w_out, acc_in, acc_out, centers, contexts, w,
+            neg_cdf, lr, k_neg, n_negatives)
+        return (w_in, w_out, acc_in, acc_out, key), (loss, jnp.sum(w))
+
+    (w_in, w_out, acc_in, acc_out, key), (losses, kept) = jax.lax.scan(
+        body, (w_in, w_out, acc_in, acc_out, key), lrs, length=n_steps)
+    return w_in, w_out, acc_in, acc_out, key, jnp.mean(losses), jnp.sum(kept)
+
+
+def train_sgns_device(
+    store: EventStore,
+    n_aids: int,
+    config: SGNSConfig = SGNSConfig(),
+    steps_per_dispatch: int = 512,
+    pairs_out: dict | None = None,
+) -> SGNSModel:
+    """Device-resident SGNS training: the event stream crosses the link once
+    per epoch (~8 bytes/event) and every pair is sampled on device.
+
+    Trains the reference fastText configuration (dim 32, ws 10, neg 40,
+    5 epochs — models/fasttext/config.yaml:3-19) at device-limited
+    throughput.  ``pairs_out`` receives {"pairs_trained", "train_s",
+    "pairs_per_s"} accounting.
+    """
+    import time as _time
+
+    rng = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+
+    counts = np.bincount(store.aid, minlength=n_aids).astype(np.float64)
+    p = counts**config.ns_exponent
+    p /= p.sum()
+    neg_cdf = jnp.asarray(np.cumsum(p), jnp.float32)
+
+    d = config.dim
+    scale = 1.0 / d
+    w_in = jnp.asarray(rng.uniform(-scale, scale, size=(n_aids, d)).astype(np.float32))
+    w_out = jnp.zeros((n_aids, d), jnp.float32)
+    acc_in = jnp.zeros((n_aids, d), jnp.float32)
+    acc_out = jnp.zeros((n_aids, d), jnp.float32)
+
+    B = config.batch_centers
+    n = store.n_events
+    freq = counts[store.aid] / max(counts.sum(), 1)
+    # expected pairs per epoch matches the host generator's count: each
+    # surviving adjacent (center, context) pair at distance d survives the
+    # reduced window w.p. (window-d+1)/window => ~window/2 + 1/2 per side
+    t0_all = _time.time()
+    total_pairs = 0
+    n_steps_total = None
+    step = 0
+    min_ratio = config.min_learning_rate / config.learning_rate
+    for epoch in range(config.epochs):
+        if config.subsample_t > 0:
+            p_keep = (np.sqrt(config.subsample_t / np.maximum(freq, 1e-12))
+                      + config.subsample_t / np.maximum(freq, 1e-12))
+            keep = rng.random(n) < np.minimum(p_keep, 1.0)
+        else:
+            keep = np.ones(n, bool)
+        aid_k = store.aid[keep].astype(np.int32)
+        sidx_k = store.session_idx[keep].astype(np.int32)
+        m = len(aid_k)
+        # fixed padded shape across epochs -> one compile
+        aid_pad = np.zeros(n, np.int32)
+        sidx_pad = np.full(n, -1, np.int32)
+        aid_pad[:m] = aid_k
+        sidx_pad[:m] = sidx_k
+        aid_dev = jnp.asarray(aid_pad)
+        sidx_dev = jnp.asarray(sidx_pad)
+        if n_steps_total is None:
+            # draws needed so that ACCEPTED pairs per epoch ~= the host
+            # generator's expected count; acceptance ~= P(same session,
+            # b >= d) averaged over d and direction
+            mean_len = max(m / max(store.n_sessions, 1), 1.0)
+            # acceptance over d ~ U{1..w}, direction, session boundaries:
+            # P(b>=d) = (w-d+1)/w; boundary losses ~ d/mean_len
+            w_ = config.window
+            acc = np.mean([
+                (w_ - dd + 1) / w_ * max(1.0 - dd / mean_len, 0.0)
+                for dd in range(1, w_ + 1)])
+            epoch_pairs = int(m * w_ * acc)  # both directions: m*w draws total
+            n_steps_epoch = max(-(-epoch_pairs // B), 1)
+            # every dispatch runs exactly steps_per_dispatch scanned steps
+            # (one compiled shape); round the epoch up to a whole dispatch
+            n_steps_epoch = -(-n_steps_epoch // steps_per_dispatch) * steps_per_dispatch
+            n_steps_total = n_steps_epoch * config.epochs
+        losses, kepts = [], []
+        for s0 in range(0, n_steps_epoch, steps_per_dispatch):
+            lrs = config.learning_rate * np.maximum(
+                1.0 - (step + np.arange(steps_per_dispatch)) / max(n_steps_total, 1),
+                min_ratio).astype(np.float32)
+            w_in, w_out, acc_in, acc_out, key, loss, kept = _sgns_device_chunk(
+                w_in, w_out, acc_in, acc_out, aid_dev, sidx_dev,
+                jnp.int32(m), neg_cdf, jnp.asarray(lrs), key,
+                n_steps=steps_per_dispatch, batch=B, window=config.window,
+                n_negatives=config.negatives)
+            step += min(steps_per_dispatch, n_steps_epoch - s0)
+            losses.append(loss)
+            kepts.append(kept)  # device scalars; forced once per epoch
+        ep_loss = float(np.asarray(losses[-1])) if losses else float("nan")
+        ep_kept = int(sum(float(np.asarray(k)) for k in kepts))
+        total_pairs += ep_kept
+        total_draws = len(kepts) * steps_per_dispatch * B
+        log.info("sgns-device epoch %d/%d: %d pairs (%d steps, accept %.2f), "
+                 "loss %.4f", epoch + 1, config.epochs, ep_kept,
+                 n_steps_epoch, ep_kept / max(total_draws, 1), ep_loss)
+    train_s = _time.time() - t0_all
+    if pairs_out is not None:
+        pairs_out.update({
+            "pairs_trained": int(total_pairs),
+            "train_s": round(train_s, 1),
+            "pairs_per_s": round(total_pairs / max(train_s, 1e-9), 0),
+        })
+    log.info("sgns-device: %d pairs in %.1fs (%.0f pairs/s)",
+             total_pairs, train_s, total_pairs / max(train_s, 1e-9))
+    return SGNSModel(np.asarray(w_in), np.asarray(w_out),
+                     counts.astype(np.float32), config)
+
+
 @dataclass
 class SGNSModel:
     w_in: np.ndarray  # [n_aids, d] — the "word vectors"

@@ -699,14 +699,48 @@ class GBDTRankerModel:
 
     def predict(self, features: np.ndarray, mask: np.ndarray,
                 batch: int = 1 << 20, mesh=None) -> np.ndarray:
-        """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics)."""
+        """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics).
+
+        Device-resident fold loop: each binned chunk crosses the
+        host->device link ONCE and all fold forests route it while it is
+        resident (the reference reloads fold boosters around an in-RAM
+        chunk, lgb_trainer.py:248-263; the per-fold re-transfer the naive
+        port would pay is the VERDICT r3 item-7 17.5k rows/s bottleneck)."""
         S, C, F = features.shape
         binned = bin_features(features, self.edges).reshape(S * C, F)
-        acc = np.zeros(S * C, np.float32)
-        for forest in self.forests:
-            acc += forest.predict_binned(binned, batch=batch)
-        scores = (acc / len(self.forests)).reshape(S, C)
+        scores = self.predict_binned_folds(binned, batch=batch).reshape(S, C)
         return np.where(mask, scores, -np.inf)
+
+    def predict_binned_folds(self, binned: np.ndarray,
+                             batch: int = 1 << 20) -> np.ndarray:
+        """Fold-averaged scores [N] for a pre-binned uint8 [N, F] matrix.
+
+        Tree parameters are moved to the device once and stay resident
+        across all chunks; chunk tails are padded to the batch shape so
+        every dispatch reuses one compiled program."""
+        import jax
+
+        N = binned.shape[0]
+        batch = max(1, min(batch, N))
+        dev = [(jnp.asarray(f.feat), jnp.asarray(f.thr), jnp.asarray(f.leaf),
+                jnp.float32(f.base), f.depth) for f in self.forests]
+        out = np.empty(N, np.float32)
+        inv = np.float32(1.0 / len(self.forests))
+        for s in range(0, N, batch):
+            chunk = binned[s : s + batch]
+            n = chunk.shape[0]
+            if n < batch:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch - n, chunk.shape[1]), chunk.dtype)]
+                )
+            xb = jax.device_put(chunk)
+            acc = None
+            for f, t, lv, b, d in dev:
+                r = _predict_forest(xb, f, t, lv, b, depth=d)
+                acc = r if acc is None else acc + r
+            out[s : s + n] = np.asarray(acc)[:n]
+        out *= inv
+        return out
 
     def save(self, path) -> None:
         flat = {}

@@ -31,6 +31,15 @@ COVISIT_BONUS = {"clicks": 0.05, "carts": 0.05, "orders": 0.15}
 LOGSPACE_LO = {"clicks": 0.1, "carts": 0.5, "orders": 0.5}
 
 
+def _guarded_last_aid(store: EventStore, idx: np.ndarray) -> np.ndarray:
+    """Last aid per selected session, -1 for empty sessions (ADVICE r3:
+    ``offsets[idx+1]-1`` would read the previous session's last event)."""
+    lo = store.offsets[idx]
+    hi = store.offsets[idx + 1]
+    last = store.aid[np.maximum(hi - 1, 0)].astype(np.int64)
+    return np.where(hi > lo, last, -1)
+
+
 def _flat_event_indices(offsets: np.ndarray, idx: np.ndarray):
     """Flat event indices + local session ids for the selected sessions."""
     lo = offsets[idx]
@@ -137,8 +146,8 @@ def recency_route_host_f64(
     # fastText similar-list votes for the last aid of each session
     ft_sess = ft_aid = ft_order = None
     if ft_neighbors is not None:
-        last_aid = store.aid[store.offsets[rec_idx + 1] - 1].astype(np.int64)
-        rows = ft_neighbors[last_aid]  # [R, NN]
+        last_aid = _guarded_last_aid(store, rec_idx)
+        rows = np.where((last_aid >= 0)[:, None], ft_neighbors[np.maximum(last_aid, 0)], -1)  # [R, NN]
         NN = rows.shape[1]
         ft_sess = np.repeat(np.arange(R, dtype=np.int64), NN)
         ft_aid = rows.reshape(-1).astype(np.int64)
@@ -255,8 +264,8 @@ def covisit_route_host(
 
     ft_sess = ft_aid = ft_order = None
     if ft_neighbors is not None:
-        last_aid = store.aid[store.offsets[cov_idx + 1] - 1].astype(np.int64)
-        rows = ft_neighbors[last_aid]
+        last_aid = _guarded_last_aid(store, cov_idx)
+        rows = np.where((last_aid >= 0)[:, None], ft_neighbors[np.maximum(last_aid, 0)], -1)
         NN = rows.shape[1]
         ft_sess = np.repeat(np.arange(R, dtype=np.int64), NN)
         ft_aid = rows.reshape(-1).astype(np.int64)
@@ -330,7 +339,12 @@ def covisit_route_host(
             n_votes, np.maximum(k - n_uniq, 0)
         )[:, None]
         use_f = (~use_u) & (~use_v)
-        filler = np.asarray(freq_top[t][:k], dtype=np.int32)
+        # pad the global-frequency filler to width k with -1 so positions
+        # past its length emit a shorter list, like the reference, instead
+        # of repeating the last frequent aid (ADVICE r3)
+        filler = np.full(k, -1, np.int32)
+        avail = np.asarray(freq_top[t][:k], dtype=np.int32)
+        filler[: len(avail)] = avail
         pred = np.where(use_f, filler[np.clip(f_col, 0, k - 1)], pred)
         out[t] = pred
     return out

@@ -142,7 +142,10 @@ def _prior_matrix(candidates: np.ndarray, heur_rank: np.ndarray | None):
     valid = candidates >= 0
     prior = np.where(valid, -np.arange(C, dtype=np.float32)[None, :], -np.inf)
     if heur_rank is not None:
-        K = heur_rank.max(initial=0) + 1
+        # K pinned to the heuristic list width (ranks are positions in a
+        # top-TOP_K list) so training and prediction share the same scale
+        # regardless of the observed max rank (ADVICE r3)
+        K = TOP_K
         prior = np.where(
             (heur_rank >= 0) & valid,
             (C + K - heur_rank).astype(np.float32),
@@ -196,6 +199,12 @@ class TwoStageArtifacts:
     # held-out half, so it carries no selection optimism
     selection_mask: np.ndarray | None = None
     report_disjoint: RecallReport | None = None
+    # training-time settings that prediction must reproduce (ADVICE r3):
+    # whether the heuristic top-k was unioned into the grid (adds the
+    # heuristic_rank_score column + the lifted prior) and the resolved
+    # feature list the rankers were fit on
+    heuristic_union: bool = True
+    feature_list: list[str] | None = None
 
     def save(self, directory) -> None:
         """Persist everything needed to re-score new sessions (the
@@ -216,6 +225,8 @@ class TwoStageArtifacts:
             "ranker_names": sorted(self.rankers),
             "has_sgns": self.sgns is not None,
             "max_recall": self.max_recall,
+            "heuristic_union": bool(self.heuristic_union),
+            "feature_list": self.feature_list,
         }
         (d / "meta.json").write_text(json.dumps(meta, indent=1))
 
@@ -235,7 +246,9 @@ class TwoStageArtifacts:
         z = np.load(d / "predictions.npz")
         preds = {k: z[k] for k in z.files}
         return cls(matrices, sgns, None, rankers, preds, None,
-                   max_recall=meta["max_recall"])
+                   max_recall=meta["max_recall"],
+                   heuristic_union=meta.get("heuristic_union", True),
+                   feature_list=meta.get("feature_list"))
 
 
 def _recall_eval_fn(labels: SessionLabels, candidates: np.ndarray, etype: str):
@@ -277,6 +290,7 @@ def run_two_stage(
     heuristic_union: bool = True,
     heuristic_preds: dict[str, np.ndarray] | None = None,
     chunk_sessions: int = 2048,
+    aid_feats: dict[str, np.ndarray] | None = None,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
@@ -365,14 +379,18 @@ def run_two_stage(
 
     # ---- stage 2: features ------------------------------------------------
     # aid/session statistics come from train+target events (the reference
-    # computes them over the full split union, aid_feature_engineering.py:29-38)
-    stats_store = EventStore.from_flat(
-        np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
-        np.concatenate([train.aid, target.aid]),
-        np.concatenate([train.ts, target.ts]),
-        np.concatenate([train.type, target.type]),
-    )
-    aid_feats = compute_aid_features(stats_store, n_aids)
+    # computes them over the full split union, aid_feature_engineering.py:29-38).
+    # A precomputed ``aid_feats`` (e.g. over the FULL target in the streamed
+    # pipeline, otto_tpu/streaming.py) takes precedence so training and
+    # shard prediction share one global feature plane.
+    if aid_feats is None:
+        stats_store = EventStore.from_flat(
+            np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
+            np.concatenate([train.aid, target.aid]),
+            np.concatenate([train.ts, target.ts]),
+            np.concatenate([train.type, target.type]),
+        )
+        aid_feats = compute_aid_features(stats_store, n_aids)
     sess_feats = compute_session_features(target, aid_feats)
 
     # ---- stage 3+4: per-type ranker training / prediction -----------------
@@ -393,7 +411,7 @@ def run_two_stage(
         )
         if heur_rank is not None:
             hr = heur_rank[etype]
-            K = max(int(hr.max(initial=0)) + 1, 1)
+            K = TOP_K  # list width, not observed max rank (ADVICE r3)
             inter["heuristic_rank_score"] = np.where(
                 hr >= 0, (K - hr).astype(np.float32) / K, 0.0
             ).astype(np.float32)
@@ -477,6 +495,8 @@ def run_two_stage(
         max_recall=max_recall,
         selection_mask=sel_mask,
         report_disjoint=report_disjoint,
+        heuristic_union=heuristic_union,
+        feature_list=list(feature_list),
     )
     if adir is not None:
         artifacts.save(adir)
@@ -488,44 +508,68 @@ def predict_two_stage(
     train: EventStore,
     target: EventStore,
     n_aids: int,
-    feature_list: list[str] = RANKER_FEATURES,
+    feature_list: list[str] | None = None,
     uniq_cap: int = 64,
     k_covisit: int = 100,
-    heuristic_union: bool = True,
+    heuristic_union: bool | None = None,
+    aid_feats: dict[str, np.ndarray] | None = None,
+    heuristic_preds: dict[str, np.ndarray] | None = None,
+    chunk_sessions: int = 2048,
+    wide_k: int | None = None,
+    stats_out: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Score new sessions with already-trained artifacts (submission mode).
 
-    ``heuristic_union`` must match the training-time setting (it adds the
-    ``heuristic_rank_score`` feature column and the heuristic-lifted prior).
+    ``heuristic_union`` and ``feature_list`` default to the training-time
+    settings recorded in the artifacts (meta.json), so prediction scores with
+    the same feature plane and prior the rankers were fit on (ADVICE r3);
+    pass them explicitly only to override.
     """
+    if heuristic_union is None:
+        heuristic_union = artifacts.heuristic_union
+    if feature_list is None:
+        if artifacts.feature_list is not None:
+            # strip the union-added column; it is re-appended below iff union
+            feature_list = [f for f in artifacts.feature_list
+                            if f != "heuristic_rank_score"]
+        else:
+            feature_list = RANKER_FEATURES
     ft_neighbors = artifacts.sgns.neighbor_table(k=20) if artifacts.sgns is not None else None
+    if wide_k is None:
+        # mirror run_two_stage's training-time candgen width
+        wide_k = min(CovisitConfig().top_k_wide,
+                     artifacts.matrices.tables["time_weighted"][0].shape[1])
     cands = regular_candidates(
         target, artifacts.matrices, ft_neighbors=ft_neighbors,
         uniq_cap=uniq_cap, k_covisit=k_covisit,
+        chunk_sessions=chunk_sessions, wide_k=wide_k,
     )
     heur_rank = None
     if heuristic_union:
-        import jax
+        if heuristic_preds is None:
+            import jax
 
-        from otto_tpu.models.covisitation import covisit_heuristic_predictions
-        from otto_tpu.models.frequency import FrequencyStatistics
+            from otto_tpu.models.covisitation import covisit_heuristic_predictions
+            from otto_tpu.models.frequency import FrequencyStatistics
 
-        stats = FrequencyStatistics.compute(train, n_aids=n_aids)
-        stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
-        heur_preds = covisit_heuristic_predictions(
-            target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors,
-            recency_host_f64=jax.default_backend() == "cpu",
-            covisit_host=jax.default_backend() == "cpu",
-        )
-        heur_rank = _union_heuristic(cands, heur_preds, None)
+            stats = FrequencyStatistics.compute(train, n_aids=n_aids)
+            stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+            heuristic_preds = covisit_heuristic_predictions(
+                target, artifacts.matrices, stats_top, ft_neighbors=ft_neighbors,
+                chunk_sessions=chunk_sessions,
+                recency_host_f64=jax.default_backend() == "cpu",
+                covisit_host=jax.default_backend() == "cpu",
+            )
+        heur_rank = _union_heuristic(cands, heuristic_preds, None)
         feature_list = list(feature_list) + ["heuristic_rank_score"]
-    stats_store = EventStore.from_flat(
-        np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
-        np.concatenate([train.aid, target.aid]),
-        np.concatenate([train.ts, target.ts]),
-        np.concatenate([train.type, target.type]),
-    )
-    aid_feats = compute_aid_features(stats_store, n_aids)
+    if aid_feats is None:
+        stats_store = EventStore.from_flat(
+            np.concatenate([train.session_ids[train.session_idx], target.session_ids[target.session_idx]]),
+            np.concatenate([train.aid, target.aid]),
+            np.concatenate([train.ts, target.ts]),
+            np.concatenate([train.type, target.type]),
+        )
+        aid_feats = compute_aid_features(stats_store, n_aids)
     sess_feats = compute_session_features(target, aid_feats)
     out = {}
     for etype in EVENT_TYPES:
@@ -534,7 +578,7 @@ def predict_two_stage(
         )
         if heur_rank is not None:
             hr = heur_rank[etype]
-            K = max(int(hr.max(initial=0)) + 1, 1)
+            K = TOP_K  # list width, not observed max rank (ADVICE r3)
             inter["heuristic_rank_score"] = np.where(
                 hr >= 0, (K - hr).astype(np.float32) / K, 0.0
             ).astype(np.float32)
@@ -546,6 +590,8 @@ def predict_two_stage(
         if b is not None:
             scores = _blend_scores(cands.candidates[etype],
                                    [scores, b.predict(X, mask)], [0.5, 0.5])
+        if stats_out is not None:
+            stats_out[f"rows_{etype}"] = int(np.prod(cands.candidates[etype].shape))
         alpha = getattr(model, "prior_alpha", float("nan"))
         if np.isfinite(alpha):
             prior = _prior_matrix(

@@ -59,6 +59,12 @@ def main() -> int:
                     help="serve the heuristic's recency route on the host "
                          "float64 accumulator (fewer device programs; exact "
                          "reference tie-breaks)")
+    ap.add_argument("--selection-seed", type=int, default=17,
+                    help="seed of the selection/report session split "
+                         "(vary across runs for the multi-seed protocol, "
+                         "VERDICT r3 item 3)")
+    ap.add_argument("--n-boot", type=int, default=1000,
+                    help="paired-bootstrap resamples for the lift CI")
     ap.add_argument("--save-matrices", type=str, default="")
     ap.add_argument("--load-matrices", type=str, default="")
     ap.add_argument("--skip-heuristic", action="store_true",
@@ -195,6 +201,7 @@ def main() -> int:
         k_covisit=args.k_covisit,
         heuristic_preds=heur_preds,
         chunk_sessions=args.chunk_sessions,
+        selection_seed=args.selection_seed,
     )
     _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
 
@@ -231,6 +238,31 @@ def main() -> int:
             results["two_stage_disjoint"]["weighted"]
             - results["candidate_prior_disjoint"]["weighted"], 6
         )
+
+        # paired per-session bootstrap CI on the disjoint-half lifts
+        # (VERDICT r3 item 3: the point estimates above carry no
+        # uncertainty; the paired resample is the right-variance interval)
+        from otto_tpu.eval.harness import paired_bootstrap_lift
+
+        def _hold(preds):
+            return {t: preds[t][hold] for t in EVENT_TYPES}
+
+        ts_h = _hold(art.predictions)
+        if heur_preds is not None:
+            results["bootstrap_vs_heuristic_disjoint"] = paired_bootstrap_lift(
+                lab_h, ts_h, _hold(heur_preds), n_boot=args.n_boot,
+                seed=args.selection_seed,
+            )
+        results["bootstrap_vs_prior_disjoint"] = paired_bootstrap_lift(
+            lab_h, ts_h, _hold(prior_preds), n_boot=args.n_boot,
+            seed=args.selection_seed,
+        )
+        for tag in ("bootstrap_vs_heuristic_disjoint", "bootstrap_vs_prior_disjoint"):
+            if tag in results:
+                b = results[tag]
+                print(f"{tag}: lift {b['lift']:+.6f} ci95 {b['ci95']} "
+                      f"p<=0 {b['p_le_0']} significant={b['significant']}",
+                      flush=True)
 
     print(
         f"\n# lift: two-stage vs heuristic {results.get('lift_vs_heuristic', float('nan')):+.6f}, "
