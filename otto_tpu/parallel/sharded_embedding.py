@@ -156,3 +156,88 @@ def make_sharded_sgns_step(mesh: Mesh, n_negatives: int, data_axis: str = "data"
         )(w_in, w_out, acc_in, acc_out, centers, contexts, negatives, lr)
 
     return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+
+def make_sharded_mf_step(mesh: Mesh, loss: str = "mse", data_axis: str = "data",
+                         model_axis: str = "model"):
+    """Multi-chip matrix-factorization step: batch sharded over ``data``,
+    BOTH tables (session [Ns, D] and aid [Na, D]) row-sharded over ``model``
+    — the 14,571,582-row session table is the reference's largest tensor
+    (models/matrix_factorization/config.yaml:8-9, torch_modules.py:28-29)
+    and the real target of row sharding.
+
+    Unlike :func:`make_sharded_sgns_step` (dense per-shard adagrad), the
+    update is SPARSE: each data shard computes closed-form row gradients for
+    its batch, the gradient rows are all-gathered over ``data`` (batch-sized
+    traffic, not table-sized), and every model shard scatter-adds the rows it
+    owns — per-step HBM traffic scales with the batch, as in the
+    single-device sparse path (models/matrix_factorization.py sparse_step).
+    """
+
+    def step(ses_t, aid_t, acc_s, acc_a, s_idx, a_idx, y, lr):
+        def local(ses_s, aid_s, acc_ss, acc_as, si, ai, yy, lr):
+            m = jax.lax.axis_index(model_axis)
+            rows_s = ses_s.shape[0]
+            rows_a = aid_s.shape[0]
+
+            def gather(table, idx, rows_per):
+                li = idx - m * rows_per
+                owned = (li >= 0) & (li < rows_per)
+                safe = jnp.clip(li, 0, rows_per - 1)
+                rows = jnp.where(owned[..., None], table[safe], 0)
+                return jax.lax.psum(rows, model_axis)
+
+            e1 = gather(ses_s, si, rows_s)  # [b, D]
+            e2 = gather(aid_s, ai, rows_a)
+            logits = jnp.sum(e1 * e2, axis=-1)
+            B_total = yy.shape[0] * mesh.shape[data_axis]
+            if loss == "bce":
+                per = -(yy * jax.nn.log_sigmoid(logits)
+                        + (1 - yy) * jax.nn.log_sigmoid(-logits))
+                dl = (jax.nn.sigmoid(logits) - yy) / B_total
+            else:  # mse
+                per = (logits - yy) ** 2
+                dl = 2.0 * (logits - yy) / B_total
+            loss_val = jax.lax.psum(jnp.sum(per), data_axis) / B_total
+            g1 = dl[:, None] * e2  # [b, D] session-row grads
+            g2 = dl[:, None] * e1  # [b, D] aid-row grads
+
+            # batch-sized exchange: every model shard sees ALL data shards'
+            # gradient rows, then applies only the rows it owns
+            si_all = jax.lax.all_gather(si, data_axis, tiled=True)
+            ai_all = jax.lax.all_gather(ai, data_axis, tiled=True)
+            g1_all = jax.lax.all_gather(g1, data_axis, tiled=True)
+            g2_all = jax.lax.all_gather(g2, data_axis, tiled=True)
+
+            def apply(table, acc, idx, g, rows_per):
+                li = idx - m * rows_per
+                owned = (li >= 0) & (li < rows_per)
+                safe = jnp.where(owned, li, rows_per)  # row rows_per = scratch
+                pad_t = jnp.concatenate([table, jnp.zeros((1, table.shape[1]), table.dtype)])
+                pad_a = jnp.concatenate([acc, jnp.zeros((1, acc.shape[1]), acc.dtype)])
+                g = jnp.where(owned[:, None], g, 0)
+                pad_a = pad_a.at[safe].add(g * g)
+                pad_t = pad_t.at[safe].add(
+                    -lr * g * jax.lax.rsqrt(pad_a[safe] + 1e-10))
+                return pad_t[:-1], pad_a[:-1]
+
+            ses_s, acc_ss = apply(ses_s, acc_ss, si_all, g1_all, rows_s)
+            aid_s, acc_as = apply(aid_s, acc_as, ai_all, g2_all, rows_a)
+            return ses_s, aid_s, acc_ss, acc_as, loss_val
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(model_axis, None), P(model_axis, None),
+                P(model_axis, None), P(model_axis, None),
+                P(data_axis), P(data_axis), P(data_axis), P(),
+            ),
+            out_specs=(
+                P(model_axis, None), P(model_axis, None),
+                P(model_axis, None), P(model_axis, None), P(),
+            ),
+            check_vma=False,
+        )(ses_t, aid_t, acc_s, acc_a, s_idx, a_idx, y, lr)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3))

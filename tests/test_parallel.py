@@ -268,3 +268,47 @@ def test_sharded_topk_hybrid_local_path(monkeypatch):
     assert hits / i.size >= 0.9
     np.testing.assert_allclose(s, np.take_along_axis(q @ items.T, i, axis=1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mf_step_matches_numpy_oracle(mesh_2x4):
+    """make_sharded_mf_step == the single-device sparse-adagrad closed form
+    (models/matrix_factorization.py sparse_step semantics): batch-complete
+    squared-grad accumulation, then the update at the final accumulator."""
+    from otto_tpu.parallel.sharded_embedding import make_sharded_mf_step
+
+    rng = np.random.default_rng(4)
+    Ns, Na, D, B = 10, 9, 4, 16
+    ses = rng.normal(size=(Ns, D)).astype(np.float32) * 0.1
+    aid = rng.normal(size=(Na, D)).astype(np.float32) * 0.1
+    si = rng.integers(0, Ns, B).astype(np.int32)
+    ai = rng.integers(0, Na, B).astype(np.int32)
+    y = rng.normal(size=B).astype(np.float32)
+    lr = 0.07
+
+    # numpy oracle (mse)
+    e1, e2 = ses[si], aid[ai]
+    logits = np.sum(e1 * e2, axis=-1)
+    dl = 2.0 * (logits - y) / B
+    g1 = dl[:, None] * e2
+    g2 = dl[:, None] * e1
+    acc_s = np.zeros_like(ses)
+    acc_a = np.zeros_like(aid)
+    np.add.at(acc_s, si, g1 * g1)
+    np.add.at(acc_a, ai, g2 * g2)
+    exp_s, exp_a = ses.copy(), aid.copy()
+    np.add.at(exp_s, si, -lr * g1 / np.sqrt(acc_s[si] + 1e-10))
+    np.add.at(exp_a, ai, -lr * g2 / np.sqrt(acc_a[ai] + 1e-10))
+    exp_loss = np.mean((logits - y) ** 2)
+
+    step = make_sharded_mf_step(mesh_2x4, loss="mse")
+    ses_d = shard_rows(mesh_2x4, ses)
+    aid_d = shard_rows(mesh_2x4, aid)
+    zs = shard_rows(mesh_2x4, np.zeros_like(ses))
+    za = shard_rows(mesh_2x4, np.zeros_like(aid))
+    out = step(ses_d, aid_d, zs, za, jnp.asarray(si), jnp.asarray(ai),
+               jnp.asarray(y), jnp.float32(lr))
+    got_s = np.asarray(out[0])[:Ns]
+    got_a = np.asarray(out[1])[:Na]
+    np.testing.assert_allclose(float(out[4]), exp_loss, rtol=1e-5)
+    np.testing.assert_allclose(got_s, exp_s, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(got_a, exp_a, rtol=2e-5, atol=2e-6)
