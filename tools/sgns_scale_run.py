@@ -106,6 +106,77 @@ def main() -> int:
               f"{pairs_s*(2+cfg.negatives)/1e6:.2f}M lookups/s)", flush=True)
         flush()
 
+    if "probe" in phases:
+        # device-isolation for the host-paired step (VERDICT r3 item 5): the
+        # pair arrays are placed ON DEVICE once, then _sgns_multi_step chains
+        # with no per-step host traffic — device-only pairs/s vs the
+        # link-fed 49.9k pairs/s of SGNS_SCALE_single.json attributes the
+        # gap to the tunnel
+        from otto_tpu.models.embeddings import _sgns_multi_step
+
+        d = 32
+        B, G = 8192, 8
+        rng = np.random.default_rng(args.seed)
+        counts = np.bincount(store.aid, minlength=args.aids).astype(np.float64)
+        p = counts**0.75
+        p /= p.sum()
+        neg_cdf = jnp.asarray(np.cumsum(p), jnp.float32)
+        w_in = jnp.asarray(rng.uniform(-1 / d, 1 / d, (args.aids, d)).astype(np.float32))
+        w_out = jnp.zeros((args.aids, d), jnp.float32)
+        acc_in = jnp.zeros((args.aids, d), jnp.float32)
+        acc_out = jnp.zeros((args.aids, d), jnp.float32)
+        probe = {}
+        for neg in (8, 40):
+            gc = jnp.asarray(rng.integers(0, args.aids, (G, B)).astype(np.int32))
+            gx = jnp.asarray(rng.integers(0, args.aids, (G, B)).astype(np.int32))
+            lrs = jnp.full(G, 0.05, jnp.float32)
+            key = jax.random.PRNGKey(0)
+            # warm (compile)
+            w_in, w_out, acc_in, acc_out, key, loss = _sgns_multi_step(
+                w_in, w_out, acc_in, acc_out, gc, gx, neg_cdf, lrs, key, neg)
+            _ = float(loss)
+            t0 = time.time()
+            iters = 12
+            for _i in range(iters):
+                w_in, w_out, acc_in, acc_out, key, loss = _sgns_multi_step(
+                    w_in, w_out, acc_in, acc_out, gc, gx, neg_cdf, lrs, key, neg)
+            _ = float(loss)  # force the chain
+            dt = (time.time() - t0) / iters
+            probe[f"neg{neg}"] = {
+                "s_per_dispatch": round(dt, 4),
+                "device_pairs_per_s": round(G * B / dt, 0),
+                "device_lookups_per_s": round(G * B * (2 + neg) / dt, 0),
+            }
+            print(f"# probe neg={neg}: {G*B/dt/1e3:.0f}k pairs/s device-only",
+                  flush=True)
+        results["probe"] = probe
+        flush()
+
+    if "device" in phases:
+        # the device-resident pair sampler at the reference fastText
+        # configuration (dim 32, ws 10, neg 40, models/fasttext/config.yaml)
+        from otto_tpu.models.embeddings import train_sgns_device
+
+        cfg = SGNSConfig(epochs=args.epochs, negatives=args.negatives,
+                         batch_centers=8192)
+        pairs_out: dict = {}
+        t0 = time.time()
+        model = train_sgns_device(store, args.aids, cfg,
+                                  steps_per_dispatch=256,
+                                  pairs_out=pairs_out)
+        results["device"] = {
+            "table_rows": args.aids,
+            "epochs": args.epochs,
+            "negatives": args.negatives,
+            **pairs_out,
+            "lookups_per_s": round(
+                pairs_out["pairs_per_s"] * (2 + args.negatives), 0),
+            "emb_finite": bool(np.isfinite(np.asarray(model.w_in[:1000])).all()),
+        }
+        print(f"# device: {pairs_out['train_s']}s for {args.epochs} epoch(s) "
+              f"({pairs_out['pairs_per_s']/1e3:.1f}k pairs/s)", flush=True)
+        flush()
+
     if "sharded" in phases:
         from otto_tpu.config import MeshConfig
         from otto_tpu.parallel import make_sharded_sgns_step
