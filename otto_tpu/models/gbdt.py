@@ -698,21 +698,25 @@ class GBDTRankerModel:
         return np.sum([getattr(f, attr) for f in self.forests], axis=0)
 
     def predict(self, features: np.ndarray, mask: np.ndarray,
-                batch: int = 1 << 20, mesh=None) -> np.ndarray:
+                batch: int = 1 << 20, mesh=None, device=None) -> np.ndarray:
         """Fold-averaged scores [S, C] (lgb_trainer.py:248-263 semantics).
 
         Device-resident fold loop: each binned chunk crosses the
         host->device link ONCE and all fold forests route it while it is
         resident (the reference reloads fold boosters around an in-RAM
         chunk, lgb_trainer.py:248-263; the per-fold re-transfer the naive
-        port would pay is the VERDICT r3 item-7 17.5k rows/s bottleneck)."""
+        port would pay is the VERDICT r3 item-7 17.5k rows/s bottleneck).
+        ``device`` routes the forest pass to a specific jax device — e.g.
+        the TPU from a CPU-default streaming process (committed inputs pin
+        the jitted program to their device)."""
         S, C, F = features.shape
         binned = bin_features(features, self.edges).reshape(S * C, F)
-        scores = self.predict_binned_folds(binned, batch=batch).reshape(S, C)
+        scores = self.predict_binned_folds(
+            binned, batch=batch, device=device).reshape(S, C)
         return np.where(mask, scores, -np.inf)
 
     def predict_binned_folds(self, binned: np.ndarray,
-                             batch: int = 1 << 20) -> np.ndarray:
+                             batch: int = 1 << 20, device=None) -> np.ndarray:
         """Fold-averaged scores [N] for a pre-binned uint8 [N, F] matrix.
 
         Tree parameters are moved to the device once and stay resident
@@ -720,9 +724,11 @@ class GBDTRankerModel:
         every dispatch reuses one compiled program."""
         import jax
 
+        put = (jax.device_put if device is None
+               else (lambda a: jax.device_put(a, device)))
         N = binned.shape[0]
         batch = max(1, min(batch, N))
-        dev = [(jnp.asarray(f.feat), jnp.asarray(f.thr), jnp.asarray(f.leaf),
+        dev = [(put(f.feat), put(f.thr), put(f.leaf),
                 jnp.float32(f.base), f.depth) for f in self.forests]
         out = np.empty(N, np.float32)
         inv = np.float32(1.0 / len(self.forests))
@@ -733,7 +739,7 @@ class GBDTRankerModel:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch - n, chunk.shape[1]), chunk.dtype)]
                 )
-            xb = jax.device_put(chunk)
+            xb = put(chunk)
             acc = None
             for f, t, lv, b, d in dev:
                 r = _predict_forest(xb, f, t, lv, b, depth=d)

@@ -267,7 +267,8 @@ def main(argv=None):
     parser.add_argument(
         "model",
         choices=["aid_frequency", "aid_weight", "covisitation", "two_stage",
-                 "tfidf", "sequence", "embedding_knn", "doc2vec", "ensemble"],
+                 "two_stage_streamed", "tfidf", "sequence", "embedding_knn",
+                 "doc2vec", "ensemble"],
     )
     parser.add_argument("mode", choices=["validation", "submission"])
     parser.add_argument("--events", default=None,
@@ -296,6 +297,13 @@ def main(argv=None):
                              "to predicting --events sessions themselves")
     parser.add_argument("--artifact-dir", default=None,
                         help="two_stage per-stage persistence / crash-resume directory")
+    parser.add_argument("--train-sessions", type=int, default=50_000,
+                        help="two_stage_streamed: labeled target sessions used "
+                             "to fit the rankers; the rest stream")
+    parser.add_argument("--shard-sessions", type=int, default=100_000,
+                        help="two_stage_streamed: prediction shard size "
+                             "(bounds peak memory — the reference's 15-shard "
+                             "explode / 20-chunk prediction analog)")
     args = parser.parse_args(argv)
 
     def _read(path):
@@ -333,6 +341,39 @@ def main(argv=None):
     store = _read(args.events)
 
     def dispatch(train, target, labels):
+        if args.model == "two_stage_streamed":
+            from otto_tpu.config import GBDTConfig, RankerConfig
+            from otto_tpu.streaming import run_two_stage_streamed
+
+            cfg_cls = GBDTConfig if args.ranker == "gbdt" else RankerConfig
+            rcfg = cfg_cls.from_yaml(args.config) if args.config else cfg_cls()
+            artifacts = None
+            if labels is None:
+                # submission: fit rankers on a truncated labeled split of the
+                # train events (two_stage's pattern), then stream the target
+                from otto_tpu.twostage import run_two_stage
+
+                sp = splits.split_by_fraction(
+                    train, val_fraction=args.val_fraction, seed=args.seed)
+                artifacts = run_two_stage(
+                    sp.train, sp.val_input, args.n_aids, labels=sp.val_labels,
+                    ranker_config=rcfg, artifact_dir=args.artifact_dir)
+            res = run_two_stage_streamed(
+                train, target, args.n_aids, labels=labels,
+                ranker_config=rcfg,
+                train_sessions=args.train_sessions,
+                shard_sessions=args.shard_sessions,
+                artifacts=artifacts,
+                artifact_dir=args.artifact_dir,
+                n_boot=0 if labels is None else 1000,
+            )
+            if res.bootstrap_vs_heuristic is not None:
+                b = res.bootstrap_vs_heuristic
+                print(f"lift vs heuristic {b['lift']:+.6f} ci95 {b['ci95']} "
+                      f"(streamed, training-disjoint)")
+            # predictions cover the streamed sessions; in submission mode
+            # train_sessions=0 is implied by labels=None (everything streams)
+            return BaselineResult(res.predictions, res.report)
         if args.model == "two_stage":
             from otto_tpu.config import GBDTConfig, RankerConfig
             from otto_tpu.twostage import predict_two_stage, run_two_stage

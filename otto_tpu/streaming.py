@@ -124,6 +124,7 @@ def run_two_stage_streamed(
     n_boot: int = 1000,
     feature_list: list[str] = RANKER_FEATURES,
     predict_batch: int = 1 << 20,
+    predict_device=None,
 ) -> StreamedResult:
     """Train on a subsample, stream-predict the rest of ``target``.
 
@@ -240,6 +241,7 @@ def run_two_stage_streamed(
             chunk_sessions=chunk_sessions,
             wide_k=wide_k,
             stats_out=pstats,
+            predict_device=predict_device,
         )
         for t in EVENT_TYPES:
             preds[t][lo:hi] = out[t][:, :TOP_K]

@@ -517,6 +517,7 @@ def predict_two_stage(
     chunk_sessions: int = 2048,
     wide_k: int | None = None,
     stats_out: dict | None = None,
+    predict_device=None,
 ) -> dict[str, np.ndarray]:
     """Score new sessions with already-trained artifacts (submission mode).
 
@@ -585,11 +586,25 @@ def predict_two_stage(
         X = assemble_features(feature_list, inter, aid_feats, sess_feats, cands.candidates[etype])
         mask = cands.candidates[etype] >= 0
         model = artifacts.rankers[etype]
-        scores = model.predict(X, mask)
+
+        def _predict(m):
+            # only the GBDT engine takes a device route (its forest pass is
+            # link-cheap: uint8 binned rows); the tower predicts in place
+            if predict_device is not None and hasattr(m, "predict_binned_folds"):
+                try:
+                    return m.predict(X, mask, device=predict_device)
+                except Exception as e:  # accelerator unavailable mid-run
+                    log.warning("device forest predict failed (%s: %s); "
+                                "falling back to the default backend",
+                                type(e).__name__, e)
+                    return m.predict(X, mask)
+            return m.predict(X, mask)
+
+        scores = _predict(model)
         b = artifacts.rankers.get(f"{etype}_b")
         if b is not None:
             scores = _blend_scores(cands.candidates[etype],
-                                   [scores, b.predict(X, mask)], [0.5, 0.5])
+                                   [scores, _predict(b)], [0.5, 0.5])
         if stats_out is not None:
             stats_out[f"rows_{etype}"] = int(np.prod(cands.candidates[etype].shape))
         alpha = getattr(model, "prior_alpha", float("nan"))

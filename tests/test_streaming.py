@@ -88,3 +88,21 @@ def test_gbdt_fold_prediction_batch_invariance(streamed):
     full = model.predict(X, mask, batch=37 * 11)
     odd = model.predict(X, mask, batch=64)  # forces a padded tail
     np.testing.assert_allclose(full, odd, rtol=0, atol=0)
+
+
+def test_pipelines_cli_streamed(tmp_path):
+    """`python -m otto_tpu.pipelines two_stage_streamed validation` drives the
+    streamed engine through the user-facing CLI contract."""
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.pipelines import main
+
+    store = synthetic_events_v2(n_sessions=1500, n_aids=800, seed=5)
+    events = tmp_path / "events.parquet"
+    store.to_parquet(events)
+    res = main([
+        "two_stage_streamed", "validation", "--events", str(events),
+        "--n-aids", "800", "--val-fraction", "0.4", "--ranker", "tower",
+        "--train-sessions", "250", "--shard-sessions", "200",
+    ])
+    assert res.report is not None
+    assert 0.0 < res.report.weighted < 1.0

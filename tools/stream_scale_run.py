@@ -48,6 +48,11 @@ def main() -> int:
     ap.add_argument("--n-boot", type=int, default=1000)
     ap.add_argument("--chunk-sessions", type=int, default=2048)
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--predict-device", type=str, default="",
+                    help="jax platform for the GBDT forest pass (e.g. "
+                         "'axon' to route fold prediction to the TPU from a "
+                         "CPU-default process; binned uint8 chunks are "
+                         "link-cheap and forest routing is device-fast)")
     ap.add_argument("--engine", type=str, default="gbdt",
                     choices=["gbdt", "tower"])
     ap.add_argument("--matrices-dir", type=str, default="",
@@ -61,10 +66,21 @@ def main() -> int:
     if args.platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        platforms = args.platform
+        if args.predict_device and args.predict_device not in platforms:
+            platforms = f"{platforms},{args.predict_device}"
+        jax.config.update("jax_platforms", platforms)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    predict_device = None
+    if args.predict_device:
+        try:
+            predict_device = jax.devices(args.predict_device)[0]
+            print(f"# forest prediction routed to {predict_device}", flush=True)
+        except Exception as e:
+            print(f"# predict device {args.predict_device} unavailable "
+                  f"({e}); forest pass stays on the default backend", flush=True)
 
     from otto_tpu import EVENT_TYPES
     from otto_tpu.config import GBDTConfig, RankerConfig
@@ -130,6 +146,7 @@ def main() -> int:
         matrices=matrices,
         artifact_dir=args.artifact_dir or None,
         n_boot=args.n_boot,
+        predict_device=predict_device,
     )
 
     def _rep(rep):
