@@ -418,13 +418,18 @@ class GBDTForest:
     split_importance: np.ndarray  # int64 [F]
     best_iteration: int = 0
 
-    def predict_binned(self, binned: np.ndarray, batch: int = 1 << 20) -> np.ndarray:
+    def predict_binned(self, binned: np.ndarray, batch: int = 1 << 20,
+                       device=None) -> np.ndarray:
+        import jax
+
+        put = (jnp.asarray if device is None
+               else (lambda a: jax.device_put(jnp.asarray(a), device)))
         out = np.empty(binned.shape[0], np.float32)
-        f = jnp.asarray(self.feat)
-        t = jnp.asarray(self.thr)
-        lv = jnp.asarray(self.leaf)
+        f = put(self.feat)
+        t = put(self.thr)
+        lv = put(self.leaf)
         for s in range(0, binned.shape[0], batch):
-            xb = jnp.asarray(binned[s : s + batch])
+            xb = put(binned[s : s + batch])
             out[s : s + batch] = np.asarray(
                 _predict_forest(xb, f, t, lv, jnp.float32(self.base), depth=self.depth)
             )
@@ -442,6 +447,7 @@ def fit_gbdt(
     seed_offset: int = 0,
     mesh=None,
     data_axis: str = "data",
+    device=None,
 ) -> GBDTForest:
     """Boost one forest over listwise candidate groups.
 
@@ -479,7 +485,11 @@ def fit_gbdt(
             hist_impl=config.hist_impl,
         )
     else:
-        put = jnp.asarray
+        # with ``device`` the training arrays are committed there and every
+        # jitted pass (histograms, lambdarank gradients, ES metric) follows
+        # them — e.g. the TPU from a CPU-default streaming process
+        put = (jnp.asarray if device is None
+               else (lambda a: jax.device_put(jnp.asarray(a), device)))
         grow = partial(
             _grow_tree, depth=config.max_depth, n_bins=config.n_bins,
             hist_chunk=config.hist_rows_per_chunk, hist_impl=config.hist_impl,
@@ -504,14 +514,18 @@ def fit_gbdt(
     else:
         base = 0.0
 
-    pred = jnp.full((S, C), base, jnp.float32)
+    # non-mesh: commit via put so a ``device`` override routes the whole fit;
+    # mesh: keep the original default placement (row-sharded puts are for the
+    # flat training arrays only)
+    vput = jnp.asarray if mesh is not None else put
+    pred = vput(np.full((S, C), base, np.float32))
     if val is not None:
         vb, vl, vm = val
         Sv, Cv, _ = vb.shape
-        vflat = jnp.asarray(vb.reshape(Sv * Cv, F))
-        vl_d = jnp.asarray(vl.astype(np.int32))
-        vm_d = jnp.asarray(vm)
-        val_pred = jnp.full(Sv * Cv, base, jnp.float32)
+        vflat = vput(vb.reshape(Sv * Cv, F))
+        vl_d = vput(vl.astype(np.int32))
+        vm_d = vput(vm)
+        val_pred = vput(np.full(Sv * Cv, base, np.float32))
 
     gain_imp = np.zeros(F, np.float64)
     split_imp = np.zeros(F, np.int64)
@@ -797,6 +811,7 @@ def train_gbdt_ranker(
     config: GBDTConfig = GBDTConfig(),
     eval_recall=None,
     mesh=None,
+    device=None,
 ) -> tuple[GBDTRankerModel, np.ndarray]:
     """K-fold GBDT training with the reference's exact protocol; returns the
     model and OOF scores [S, C] (mirrors
@@ -827,10 +842,12 @@ def train_gbdt_ranker(
             val=(binned[val_sessions], data.labels[val_sessions], data.mask[val_sessions]),
             seed_offset=fold,
             mesh=mesh,
+            device=device,
         )
         forests.append(forest)
         vb = binned[val_sessions].reshape(-1, F)
-        oof[val_sessions] = forest.predict_binned(vb).reshape(len(val_sessions), C)
+        oof[val_sessions] = forest.predict_binned(
+            vb, device=device).reshape(len(val_sessions), C)
         if eval_recall is not None:
             r = eval_recall(
                 val_sessions,

@@ -188,6 +188,7 @@ def run_two_stage_streamed(
             aid_feats=aid_feats,
             artifact_dir=artifact_dir,
             feature_list=feature_list,
+            train_device=predict_device,
         )
         timings["train_s"] = round(time.time() - t0, 1)
         timings["train_sessions"] = int(len(train_idx))

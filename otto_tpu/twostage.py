@@ -42,12 +42,14 @@ from otto_tpu.models.gbdt import GBDTConfig, load_ranker_model, train_gbdt_ranke
 from otto_tpu.models.ranker import RankerData, RankerModel, top_k_predictions, train_ranker
 
 
-def _train_engine(data: RankerData, cfg, eval_recall):
+def _train_engine(data: RankerData, cfg, eval_recall, device=None):
     """Dispatch on config type: RankerConfig -> listwise tower,
     GBDTConfig -> TPU-native histogram GBDT (the reference's LightGBM
-    engine re-implemented, models/gbdt.py)."""
+    engine re-implemented, models/gbdt.py).  ``device`` routes the GBDT
+    fit's jitted passes to a specific accelerator (committed inputs)."""
     if isinstance(cfg, GBDTConfig):
-        return train_gbdt_ranker(data, cfg, eval_recall=eval_recall)
+        return train_gbdt_ranker(data, cfg, eval_recall=eval_recall,
+                                 device=device)
     return train_ranker(data, cfg, eval_recall=eval_recall)
 
 log = get_logger(__name__)
@@ -291,6 +293,7 @@ def run_two_stage(
     heuristic_preds: dict[str, np.ndarray] | None = None,
     chunk_sessions: int = 2048,
     aid_feats: dict[str, np.ndarray] | None = None,
+    train_device=None,
 ) -> TwoStageArtifacts:
     """Train + evaluate (labels given) or predict (labels None) end to end.
 
@@ -437,13 +440,15 @@ def run_two_stage(
                         return _raw(session_indices, scores)
                     return _raw(session_indices[keep], scores[keep])
 
-            model, oof = _train_engine(data, ranker_config, eval_fn)
+            model, oof = _train_engine(data, ranker_config, eval_fn,
+                                       device=train_device)
             rankers[etype] = model
             if second_ranker_config is not None:
                 # the reference blends a LightGBM and an XGBoost reranker
                 # (ranker/inference.py:64-85); here: a second tower with a
                 # different seed/architecture, robust-scaled weighted blend
-                model_b, oof_b = _train_engine(data, second_ranker_config, eval_fn)
+                model_b, oof_b = _train_engine(data, second_ranker_config,
+                                               eval_fn, device=train_device)
                 rankers[f"{etype}_b"] = model_b
                 oof = _blend_scores(
                     cands.candidates[etype], [oof, oof_b], list(blend_weights)
