@@ -41,6 +41,7 @@ def main() -> int:
     ap.add_argument("--chunks", type=str, default="2048,512")
     ap.add_argument("--widths", type=str, default="16")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--routes", type=str, default="recency,covisit,candgen")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default="")
     ap.add_argument("--out", type=str, default="OTTO_SCALE_serveprobe.json")
@@ -173,30 +174,34 @@ def main() -> int:
             key = f"chunk{S}_w{T}"
             block: dict = {}
 
-            block["recency"] = probe(
+            routes = set(args.routes.split(","))
+            if "recency" in routes:
+                block["recency"] = probe(
                 lambda a_, t_, l_: _recency_route(
                     a_, t_, l_, narrow, uniq_cap, NARROW, k),
-                [a, ty, ln], fetch_dict, args.iters)
-            block["recency"]["sessions_per_s_device"] = round(
-                S / block["recency"]["device_s_per_chunk"], 0)
-            print(f"# {key} recency: {block['recency']}", flush=True)
+                    [a, ty, ln], fetch_dict, args.iters)
+                block["recency"]["sessions_per_s_device"] = round(
+                    S / block["recency"]["device_s_per_chunk"], 0)
+                print(f"# {key} recency: {block['recency']}", flush=True)
 
-            block["covisit"] = probe(
+            if "covisit" in routes:
+                block["covisit"] = probe(
                 lambda a_, t_, l_: _covisit_route(
                     a_, t_, l_, narrow, stats_top, uniq_cap, NARROW, k),
-                [a, ty, ln], fetch_dict, args.iters)
-            block["covisit"]["sessions_per_s_device"] = round(
-                S / block["covisit"]["device_s_per_chunk"], 0)
-            print(f"# {key} covisit: {block['covisit']}", flush=True)
+                    [a, ty, ln], fetch_dict, args.iters)
+                block["covisit"]["sessions_per_s_device"] = round(
+                    S / block["covisit"]["device_s_per_chunk"], 0)
+                print(f"# {key} covisit: {block['covisit']}", flush=True)
 
-            tab_tuple = tuple(tables[kd] for kd in kinds)
-            block["candgen"] = probe(
+            if "candgen" in routes:
+                tab_tuple = tuple(tables[kd] for kd in kinds)
+                block["candgen"] = probe(
                 lambda a_, t_, l_: _regular_chunk(
                     a_, t_, l_, tab_tuple, None, uniq_cap, WIDE, 100, False),
-                [a, ty, ln], fetch_cands, args.iters)
-            block["candgen"]["sessions_per_s_device"] = round(
-                S / block["candgen"]["device_s_per_chunk"], 0)
-            print(f"# {key} candgen: {block['candgen']}", flush=True)
+                    [a, ty, ln], fetch_cands, args.iters)
+                block["candgen"]["sessions_per_s_device"] = round(
+                    S / block["candgen"]["device_s_per_chunk"], 0)
+                print(f"# {key} candgen: {block['candgen']}", flush=True)
 
             results[key] = block
             flush()
@@ -207,6 +212,8 @@ def main() -> int:
         b = results[key]
         summary = {}
         for route in ("recency", "covisit", "candgen"):
+            if route not in b:
+                continue
             r = b[route]
             dev = r["device_s_per_chunk"]
             link = r["h2d_s"] + r["d2h_s"]
