@@ -183,6 +183,8 @@ def main() -> int:
                 block["recency"]["sessions_per_s_device"] = round(
                     S / block["recency"]["device_s_per_chunk"], 0)
                 print(f"# {key} recency: {block['recency']}", flush=True)
+                results[key] = block
+                flush()
 
             if "covisit" in routes:
                 block["covisit"] = probe(
@@ -192,6 +194,8 @@ def main() -> int:
                 block["covisit"]["sessions_per_s_device"] = round(
                     S / block["covisit"]["device_s_per_chunk"], 0)
                 print(f"# {key} covisit: {block['covisit']}", flush=True)
+                results[key] = block
+                flush()
 
             if "candgen" in routes:
                 tab_tuple = tuple(tables[kd] for kd in kinds)
@@ -202,6 +206,8 @@ def main() -> int:
                 block["candgen"]["sessions_per_s_device"] = round(
                     S / block["candgen"]["device_s_per_chunk"], 0)
                 print(f"# {key} candgen: {block['candgen']}", flush=True)
+                results[key] = block
+                flush()
 
             results[key] = block
             flush()
