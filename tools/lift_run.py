@@ -52,6 +52,10 @@ def main() -> int:
                          "faithful) or the listwise tower (fast on CPU; shown "
                          "GBDT-class on identical features, REPORT.md)")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--train-device", type=str, default="",
+                    help="jax platform for the GBDT fit + forest prediction "
+                         "(e.g. 'axon': host serving routes on the CPU "
+                         "default backend, forest passes on the TPU)")
     ap.add_argument("--chunk-sessions", type=int, default=2048,
                     help="serving chunk size (512 keeps the route programs' "
                          "remote compiles tractable on the tunneled TPU)")
@@ -74,10 +78,21 @@ def main() -> int:
     if args.platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        platforms = args.platform
+        if args.train_device and args.train_device not in platforms:
+            platforms = f"{platforms},{args.train_device}"
+        jax.config.update("jax_platforms", platforms)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    train_device = None
+    if args.train_device:
+        try:
+            train_device = jax.devices(args.train_device)[0]
+            print(f"# GBDT fit routed to {train_device}", flush=True)
+        except Exception as e:
+            print(f"# train device {args.train_device} unavailable ({e}); "
+                  "fit stays on the default backend", flush=True)
 
     from otto_tpu import EVENT_TYPES
     from otto_tpu.config import GBDTConfig, RankerConfig
@@ -202,6 +217,7 @@ def main() -> int:
         heuristic_preds=heur_preds,
         chunk_sessions=args.chunk_sessions,
         selection_seed=args.selection_seed,
+        train_device=train_device,
     )
     _report("two_stage", art.report, {"train_s": round(time.time() - t0, 1)})
 
