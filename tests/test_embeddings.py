@@ -280,3 +280,30 @@ def test_sgns_device_pipeline_learns_cluster_structure():
             d = np.linalg.norm(emb[a] - emb[b])
             (din if a // per == b // per else dout).append(d)
     assert np.mean(din) < 0.6 * np.mean(dout)
+
+
+def test_sgns_device_shared_negatives_learns():
+    """The shared-negative MXU formulation (neg >= 16 default) learns the
+    same cluster structure as per-pair negatives."""
+    rng = np.random.default_rng(1)
+    S, L, n_clusters, per = 2000, 10, 4, 10
+    n_aids = n_clusters * per
+    sess = np.repeat(np.arange(S), L)
+    clus = rng.integers(0, n_clusters, S)
+    aid = (np.repeat(clus, L) * per + rng.integers(0, per, S * L)).astype(np.int64)
+    es = EventStore.from_flat(sess, aid, np.tile(np.arange(L), S), np.zeros(S * L, np.int8))
+
+    cfg = SGNSConfig(dim=8, window=4, negatives=20, epochs=15,
+                     batch_centers=4096, subsample_t=0)
+    out = {}
+    model = train_sgns_device(es, n_aids=n_aids, config=cfg,
+                              steps_per_dispatch=8, pairs_out=out)
+    assert out["shared_negatives"] >= 20  # the MXU path actually engaged
+    emb = model.embeddings
+    assert np.isfinite(emb).all()
+    din, dout = [], []
+    for a in range(n_aids):
+        for b in range(a + 1, n_aids):
+            d = np.linalg.norm(emb[a] - emb[b])
+            (din if a // per == b // per else dout).append(d)
+    assert np.mean(din) < 0.6 * np.mean(dout)

@@ -149,6 +149,46 @@ def main() -> int:
             }
             print(f"# probe neg={neg}: {G*B/dt/1e3:.0f}k pairs/s device-only",
                   flush=True)
+
+        # the device-resident chunk program (on-device pair sampling +
+        # shared-negative MXU step) at the reference neg=40
+        from otto_tpu.models.embeddings import _sgns_device_chunk
+
+        aid_dev = jnp.asarray(store.aid[: min(store.n_events, 4_000_000)]
+                              .astype(np.int32))
+        sidx_dev = jnp.asarray(store.session_idx[: min(store.n_events, 4_000_000)]
+                               .astype(np.int32))
+        m = jnp.int32(aid_dev.shape[0])
+        for n_shared in (1024, 8192):
+            steps = 64
+            lrs = jnp.full(steps, 0.05, jnp.float32)
+            key = jax.random.PRNGKey(1)
+            outs = _sgns_device_chunk(
+                w_in, w_out, acc_in, acc_out, aid_dev, sidx_dev, m,
+                neg_cdf, lrs, key, n_steps=steps, batch=B, window=10,
+                n_negatives=40, n_shared=n_shared)
+            w_in, w_out, acc_in, acc_out = outs[:4]
+            _ = float(outs[5])
+            t0 = time.time()
+            iters = 6
+            for _i in range(iters):
+                outs = _sgns_device_chunk(
+                    w_in, w_out, acc_in, acc_out, aid_dev, sidx_dev, m,
+                    neg_cdf, lrs, key, n_steps=steps, batch=B, window=10,
+                    n_negatives=40, n_shared=n_shared)
+                w_in, w_out, acc_in, acc_out = outs[:4]
+            kept = float(outs[6])
+            _ = float(outs[5])
+            dt = (time.time() - t0) / iters
+            probe[f"device_chunk_neg40_shared{n_shared}"] = {
+                "s_per_dispatch": round(dt, 4),
+                "steps_per_dispatch": steps,
+                "device_draws_per_s": round(steps * B / dt, 0),
+                "device_pairs_per_s": round(kept / dt, 0),
+                "accept_rate": round(kept / (steps * B), 3),
+            }
+            print(f"# probe device-chunk shared={n_shared}: "
+                  f"{kept/dt/1e3:.0f}k accepted pairs/s device-only", flush=True)
         results["probe"] = probe
         flush()
 
