@@ -483,18 +483,14 @@ def train_sgns_device(
         aid_dev = jnp.asarray(aid_pad)
         sidx_dev = jnp.asarray(sidx_pad)
         if n_steps_total is None:
-            # draws needed so that ACCEPTED pairs per epoch ~= the host
-            # generator's expected count; acceptance ~= P(same session,
-            # b >= d) averaged over d and direction
-            mean_len = max(m / max(store.n_sessions, 1), 1.0)
-            # acceptance over d ~ U{1..w}, direction, session boundaries:
-            # P(b>=d) = (w-d+1)/w; boundary losses ~ d/mean_len
+            # the host generator emits ~2*m*w*acc pairs per epoch (each of m
+            # events, both directions, w offsets, acceptance acc = mean over
+            # d of P(b>=d)*P(same session)); a device draw accepts with the
+            # SAME probability acc, so matching the host epoch count takes
+            # 2*m*w draws per epoch
             w_ = config.window
-            acc = np.mean([
-                (w_ - dd + 1) / w_ * max(1.0 - dd / mean_len, 0.0)
-                for dd in range(1, w_ + 1)])
-            epoch_pairs = int(m * w_ * acc)  # both directions: m*w draws total
-            n_steps_epoch = max(-(-epoch_pairs // B), 1)
+            draws_per_epoch = 2 * m * w_
+            n_steps_epoch = max(-(-draws_per_epoch // B), 1)
             # every dispatch runs exactly steps_per_dispatch scanned steps
             # (one compiled shape); round the epoch up to a whole dispatch
             n_steps_epoch = -(-n_steps_epoch // steps_per_dispatch) * steps_per_dispatch
