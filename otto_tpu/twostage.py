@@ -317,6 +317,11 @@ def run_two_stage(
     from pathlib import Path
 
     adir = Path(artifact_dir) if artifact_dir is not None else None
+    if adir is not None:
+        # per-stage saves (rankers, sgns) assume the directory exists even
+        # when the covisitation branch that used to create it is skipped
+        # because prebuilt matrices were passed in
+        adir.mkdir(parents=True, exist_ok=True)
 
     # ---- stage 0: representation models ----------------------------------
     if matrices is None and adir is not None and (adir / "covisitation").is_dir():
@@ -440,10 +445,28 @@ def run_two_stage(
                         return _raw(session_indices, scores)
                     return _raw(session_indices[keep], scores[keep])
 
-            model, oof = _train_engine(data, ranker_config, eval_fn,
-                                       device=train_device)
-            rankers[etype] = model
-            if second_ranker_config is not None:
+            rk_path = (adir / f"ranker_{etype}.npz") if adir is not None else None
+            resumed = rk_path is not None and rk_path.exists()
+            if resumed:
+                # crash resume: reload the finished fold models and score
+                # with them (the reference's reload-and-predict pattern,
+                # lgb_trainer.py:248-263; fold-averaged rather than OOF)
+                log.info("resuming %s ranker from %s", etype, rk_path)
+                model = load_ranker_model(
+                    rk_path,
+                    ranker_config if not isinstance(ranker_config, GBDTConfig) else None,
+                )
+                mask_e = cands.candidates[etype] >= 0
+                if train_device is not None and hasattr(model, "predict_binned_folds"):
+                    oof = model.predict(X, mask_e, device=train_device)
+                else:
+                    oof = model.predict(X, mask_e)
+                rankers[etype] = model
+            else:
+                model, oof = _train_engine(data, ranker_config, eval_fn,
+                                           device=train_device)
+                rankers[etype] = model
+            if second_ranker_config is not None and not resumed:
                 # the reference blends a LightGBM and an XGBoost reranker
                 # (ranker/inference.py:64-85); here: a second tower with a
                 # different seed/architecture, robust-scaled weighted blend
@@ -454,12 +477,26 @@ def run_two_stage(
                     cands.candidates[etype], [oof, oof_b], list(blend_weights)
                 )
             if prior_blend:
-                oof, alpha = _prior_blend(
-                    cands.candidates[etype], oof, eval_fn,
-                    heur_rank=None if heur_rank is None else heur_rank[etype],
-                )
-                rankers[etype].prior_alpha = alpha
-                log.info("%s: prior-blend alpha %.2f", etype, alpha)
+                stored_alpha = getattr(rankers[etype], "prior_alpha", float("nan"))
+                if resumed and not np.isnan(stored_alpha):
+                    # reuse the alpha selected before the crash
+                    hr = None if heur_rank is None else heur_rank[etype]
+                    c = cands.candidates[etype]
+                    valid = c >= 0
+                    prior_n = _blend_scores(c, [_prior_matrix(c, hr)], [1.0])
+                    tower_n = _blend_scores(c, [oof], [1.0])
+                    if np.isfinite(stored_alpha):
+                        tower_z = np.where(valid, tower_n, 0.0)
+                        oof = np.where(valid, prior_n + stored_alpha * tower_z, -np.inf)
+                    else:  # alpha = inf -> pure tower
+                        oof = tower_n
+                else:
+                    oof, alpha = _prior_blend(
+                        cands.candidates[etype], oof, eval_fn,
+                        heur_rank=None if heur_rank is None else heur_rank[etype],
+                    )
+                    rankers[etype].prior_alpha = alpha
+                    log.info("%s: prior-blend alpha %.2f", etype, alpha)
             predictions[etype] = top_k_predictions(cands.candidates[etype], oof, k=TOP_K)
             if adir is not None:
                 rankers[etype].save(adir / f"ranker_{etype}.npz")
