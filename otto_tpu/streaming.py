@@ -125,6 +125,7 @@ def run_two_stage_streamed(
     feature_list: list[str] = RANKER_FEATURES,
     predict_batch: int = 1 << 20,
     predict_device=None,
+    progress_cb=None,
 ) -> StreamedResult:
     """Train on a subsample, stream-predict the rest of ``target``.
 
@@ -255,6 +256,8 @@ def run_two_stage_streamed(
         log.info("streamed shard %d-%d/%d: heuristic %.1fs predict %.1fs rss %.1f GB",
                  lo, hi, n_stream, row["heuristic_s"], row["predict_s"],
                  row["rss_gb"])
+        if progress_cb is not None:
+            progress_cb(dict(timings, streamed_so_far=int(hi)), shard_times)
     timings["stream_s"] = round(time.time() - t_stream, 1)
     timings["streamed_sessions"] = int(n_stream)
     timings["ranker_rows_predicted"] = int(rows_predicted)

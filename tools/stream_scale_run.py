@@ -136,6 +136,15 @@ def main() -> int:
                          early_stopping_rounds=args.early_stop,
                          min_data_in_leaf=200)
 
+    def _progress(timings, shard_times):
+        # partial artifact after every shard: a killed run still leaves
+        # per-stage evidence on disk
+        results["timings_partial"] = timings
+        results["shards"] = shard_times
+        flush()
+        print(f"# shard done: {timings.get('streamed_so_far')} sessions "
+              f"streamed", flush=True)
+
     res = run_two_stage_streamed(
         split.train, split.val_input, args.aids, labels=split.val_labels,
         ranker_config=cfg,
@@ -147,7 +156,9 @@ def main() -> int:
         artifact_dir=args.artifact_dir or None,
         n_boot=args.n_boot,
         predict_device=predict_device,
+        progress_cb=_progress,
     )
+    results.pop("timings_partial", None)
 
     def _rep(rep):
         return {"weighted": rep.weighted, "corpus_weighted": rep.corpus_weighted,
