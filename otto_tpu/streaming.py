@@ -154,7 +154,20 @@ def run_two_stage_streamed(
     t0 = time.time()
     stats = FrequencyStatistics.compute(train, n_aids=n_aids)
     stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
-    aid_feats = compute_aid_features(_union_stats_store(train, target), n_aids)
+    aid_feats = None
+    if artifact_dir is not None:
+        from pathlib import Path
+
+        af_path = Path(artifact_dir) / "aid_feats.npz"
+        if af_path.exists():
+            z = np.load(af_path)
+            aid_feats = {k: z[k] for k in z.files}
+            log.info("streamed: aid features resumed from %s", af_path)
+    if aid_feats is None:
+        aid_feats = compute_aid_features(_union_stats_store(train, target), n_aids)
+        if artifact_dir is not None:
+            Path(artifact_dir).mkdir(parents=True, exist_ok=True)
+            np.savez(Path(artifact_dir) / "aid_feats.npz", **aid_feats)
     timings["global_features_s"] = round(time.time() - t0, 1)
     timings["rss_after_features_gb"] = round(_rss_gb(), 2)
 
@@ -257,7 +270,13 @@ def run_two_stage_streamed(
                  lo, hi, n_stream, row["heuristic_s"], row["predict_s"],
                  row["rss_gb"])
         if progress_cb is not None:
-            progress_cb(dict(timings, streamed_so_far=int(hi)), shard_times)
+            progress_cb(dict(timings, streamed_so_far=int(hi)), shard_times, {
+                "labels": labels,
+                "streamed_idx": streamed_idx,
+                "hi": int(hi),
+                "predictions": preds,
+                "heuristic_predictions": heur_all,
+            })
     timings["stream_s"] = round(time.time() - t_stream, 1)
     timings["streamed_sessions"] = int(n_stream)
     timings["ranker_rows_predicted"] = int(rows_predicted)

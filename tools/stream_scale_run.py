@@ -136,11 +136,40 @@ def main() -> int:
                          early_stopping_rounds=args.early_stop,
                          min_data_in_leaf=200)
 
-    def _progress(timings, shard_times):
+    shard_count = [0]
+
+    def _progress(timings, shard_times, extras=None):
         # partial artifact after every shard: a killed run still leaves
-        # per-stage evidence on disk
+        # per-stage evidence on disk — including an incremental lift + CI
+        # over the sessions streamed so far (every 4th shard), so ANY
+        # cutoff still carries the flagship number
         results["timings_partial"] = timings
         results["shards"] = shard_times
+        shard_count[0] += 1
+        if extras is not None and extras.get("labels") is not None and (
+                shard_count[0] % 4 == 0):
+            from otto_tpu import EVENT_TYPES
+            from otto_tpu.eval.harness import (evaluate_predictions,
+                                               paired_bootstrap_lift)
+
+            hi = extras["hi"]
+            idx = extras["streamed_idx"][:hi]
+            lab = extras["labels"].take(idx)
+            pr = {t: extras["predictions"][t][:hi] for t in EVENT_TYPES}
+            hr = {t: extras["heuristic_predictions"][t][:hi] for t in EVENT_TYPES}
+            rep = evaluate_predictions(lab, pr["clicks"], pr["carts"], pr["orders"])
+            hrep = evaluate_predictions(lab, hr["clicks"], hr["carts"], hr["orders"])
+            boot = paired_bootstrap_lift(lab, pr, hr, n_boot=200,
+                                         seed=args.selection_seed)
+            results["partial_lift"] = {
+                "sessions": int(hi),
+                "two_stage_weighted": round(rep.weighted, 6),
+                "heuristic_weighted": round(hrep.weighted, 6),
+                "lift": round(rep.weighted - hrep.weighted, 6),
+                "bootstrap": boot,
+            }
+            print(f"# partial lift @ {hi}: {rep.weighted - hrep.weighted:+.6f} "
+                  f"ci95 {boot['ci95']}", flush=True)
         flush()
         print(f"# shard done: {timings.get('streamed_so_far')} sessions "
               f"streamed", flush=True)
