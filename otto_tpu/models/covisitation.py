@@ -74,6 +74,7 @@ def build_covisitation(
     budget_rows: int | None = 64_000_000,
     per_aid_cap: int = 128,
     stats_out: dict | None = None,
+    progress_cb=None,
 ) -> CovisitationMatrices:
     """Build all seven matrices in one pass over the event data.
 
@@ -89,7 +90,11 @@ def build_covisitation(
     merge-reduces and prunes each aid to its running top ``per_aid_cap``
     co-visitors whenever the buffer exceeds the budget
     (:class:`otto_tpu.ops.covisit.PairAccumulator`).  ``budget_rows=None``
-    keeps every distinct pair (exact, unbounded — the round-1 behavior)."""
+    keeps every distinct pair (exact, unbounded — the round-1 behavior).
+
+    ``progress_cb(events_done, acc)`` fires after every drained chunk so a
+    multi-hour full-corpus build can flush partial evidence (events/s, RSS,
+    accumulator pressure) — a killed run still leaves a measured rate."""
     T = config.session_tail
     if store.n_events == 0:
         empty = (np.full((n_aids, config.top_k_wide), -1, np.int32),
@@ -144,9 +149,10 @@ def build_covisitation(
             jnp.float32(t1 - t0), type_mult,
             jnp.int32(config.window_seconds), jnp.int32(14 * 24 * 60 * 60),
         )
+        ev = int(mk.sum())
         if sharded_fn is not None:
             sx, sy, totals, live = sharded_fn(*args, *tail)
-            return ("full", sx, sy, totals, live)
+            return ev, ("full", sx, sy, totals, live)
         kx, ky, weights = pair_stream(*args, n_aids, *tail)
         cs = len(a)
         sx, sy, totals, live = sort_reduce_rows(
@@ -166,9 +172,13 @@ def build_covisitation(
             cap *= 4
         cap = min(cap, max(int(sx.shape[0]), 1 << 16))
         sx_c, sy_c, totals_c, n_live = compact_live(sx, sy, totals, live, cap)
-        return ("compact", sx_c, sy_c, totals_c, n_live, cap, (sx, sy, totals, live))
+        return ev, ("compact", sx_c, sy_c, totals_c, n_live, cap, (sx, sy, totals, live))
 
-    def drain(handle):
+    events_done = 0
+
+    def drain(item):
+        nonlocal events_done
+        ev, handle = item
         if handle[0] == "full":
             _, sx, sy, totals, live = handle
             live_np = np.asarray(live)
@@ -191,6 +201,9 @@ def build_covisitation(
                 sy_np = np.asarray(sy)[live_np].astype(np.int64)
                 w_np = np.asarray(totals)[live_np]
         acc.add(sx_np * n_aids + sy_np, w_np)
+        events_done += ev
+        if progress_cb is not None:
+            progress_cb(events_done, acc)
 
     # lookahead pipeline: keep a few chunks in flight so device compute and
     # host-link fetches overlap instead of ping-ponging per chunk

@@ -176,3 +176,18 @@ def test_bounded_budget_build_matches_exact(built):
         total += a1.size
         agree += int((a1 == a2).sum())
     assert agree / total >= 0.995, agree / total
+
+
+def test_progress_cb_counts_packed_events():
+    # the callback reports packed-tail events (sessions clipped to
+    # session_tail) in monotonically increasing order, ending at the packed
+    # total — the denominator a long-running build's partial flush reports
+    es = synthetic_events(n_sessions=300, n_aids=200, mean_length=10, seed=7)
+    cfg = CovisitConfig(top_k_wide=10, session_tail=20)
+    seen = []
+    build_covisitation(es, n_aids=200, config=cfg, chunk_sessions=64,
+                       progress_cb=lambda ev, acc: seen.append(ev))
+    lens = np.minimum(np.diff(es.offsets), cfg.session_tail)
+    assert seen, "progress callback never fired"
+    assert seen == sorted(seen)
+    assert seen[-1] == int(lens.sum())

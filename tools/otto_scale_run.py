@@ -165,11 +165,40 @@ def main() -> int:
         flush()
         stats: dict = {}
         t0 = time.time()
+        last_flush = [0.0]
+
+        def _build_progress(events_done, acc):
+            # flush a measured partial every ~60s: a killed multi-hour build
+            # still leaves events/s + RSS + accumulator pressure on disk
+            now = time.time()
+            if now - last_flush[0] < 60.0:
+                return
+            last_flush[0] = now
+            elapsed = now - t0
+            results["build_partial"] = {
+                "events_done": int(events_done),
+                "elapsed_s": round(elapsed, 1),
+                "events_per_s": round(events_done / elapsed, 0),
+                "frac_done": round(events_done / store.n_events, 4),
+                "eta_s": round((store.n_events - events_done)
+                               / max(events_done / elapsed, 1e-9), 0),
+                "rss_gb": round(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+                "acc_peak_rows": int(acc.peak_rows),
+                "acc_compactions": int(acc.n_compactions),
+            }
+            flush()
+            print(f"# build partial: {events_done/1e6:.1f}M events "
+                  f"({events_done/elapsed/1e3:.1f}k ev/s, "
+                  f"eta {results['build_partial']['eta_s']/60:.0f} min)",
+                  flush=True)
+
         mats = build_covisitation(
             store, args.aids, budget_rows=int(args.budget_rows),
-            stats_out=stats,
+            stats_out=stats, progress_cb=_build_progress,
         )
         build_s = time.time() - t0
+        results.pop("build_partial", None)
         results["build"] = {
             "build_s": round(build_s, 1),
             "events_per_s": round(store.n_events / build_s, 0),
