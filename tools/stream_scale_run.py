@@ -82,6 +82,14 @@ def main() -> int:
             print(f"# predict device {args.predict_device} unavailable "
                   f"({e}); forest pass stays on the default backend", flush=True)
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s",
+        stream=sys.stderr,
+    )
+
     from otto_tpu import EVENT_TYPES
     from otto_tpu.config import GBDTConfig, RankerConfig
     from otto_tpu.data.splits import split_by_time
