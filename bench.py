@@ -426,7 +426,9 @@ def retrieval_bench():
               "to the fastest approximate path", file=sys.stderr)
     best = max(qualified) if qualified else max(qps, hybrid_qps)
     return {
-        "metric": "knn_qps_1.86M_items_r99",
+        # metric name derives from the ACTUAL table height (ADVICE r4 #2): a
+        # reduced-table CPU fallback must not masquerade as full-scale
+        "metric": f"knn_qps_{n_items / 1e6:.2f}M_items_r99",
         "value": round(best, 1),
         "unit": "queries/s",
         "vs_baseline": round(best / cpu_qps, 2),

@@ -202,8 +202,6 @@ def build_covisitation(
                 w_np = np.asarray(totals)[live_np]
         acc.add(sx_np * n_aids + sy_np, w_np)
         events_done += ev
-        if progress_cb is not None:
-            progress_cb(events_done, acc)
 
     # lookahead pipeline: keep a few chunks in flight so device compute and
     # host-link fetches overlap instead of ping-ponging per chunk
@@ -223,10 +221,16 @@ def build_covisitation(
                 _t0 = _time.perf_counter()
                 drain(inflight.popleft())
                 t_drain += _time.perf_counter() - _t0
+                # callback OUTSIDE the timed section: artifact flushes/prints
+                # must not bias the dispatch-vs-drain attribution split
+                if progress_cb is not None:
+                    progress_cb(events_done, acc)
     while inflight:
         _t0 = _time.perf_counter()
         drain(inflight.popleft())
         t_drain += _time.perf_counter() - _t0
+        if progress_cb is not None:
+            progress_cb(events_done, acc)
     # dispatch time = host prep + enqueue (device runs async); drain time =
     # result fetch over the host link + host merge — the split that separates
     # "the chip is slow" from "the tunnel/host is slow" (REPORT.md)
@@ -235,6 +239,7 @@ def build_covisitation(
     if stats_out is not None:
         stats_out["dispatch_s"] = round(t_dispatch, 1)
         stats_out["drain_s"] = round(t_drain, 1)
+        stats_out["compaction_log"] = list(acc.compaction_log)
 
     keys, weights = acc.finish()
     if not len(keys):

