@@ -198,6 +198,160 @@ def e2e_two_stage_bench():
         "ceiling": {k: round(v, 4) for k, v in art.max_recall.items()},
     }
 
+def e2e_artifact_bench():
+    """E2E two-stage benchmark in ARTIFACT mode (VERDICT r4 item 3): serve the
+    production path with the COMMITTED fold models (``artifacts/bench_e2e``,
+    fit offline at 100k-target-session scale by tools/stream_scale_run.py)
+    instead of refitting inside the bench budget.
+
+    The loaded rankers were trained on a deterministic subsample of the
+    target sessions (``train_subset_indices``); the bench excludes exactly
+    that subsample and scores only training-disjoint sessions, so the
+    reported lift vs the covisitation heuristic is unbiased — and, because
+    the fit ran at the scale where the lift is statistically resolved, the
+    bench reproduces a *verified-positive* lift instead of the alpha=0
+    degeneracy the refit-at-3k-sessions fallback produced in round 4.
+    Matrices and the global aid-feature table are rebuilt in-run from the
+    same seeds (deterministic, bit-identical to fit time).
+
+    Reference eval sites: src/ranker/inference.py:321-337 (recall of the
+    blended reranker), lgb_trainer.py:248-263 (fold-averaged prediction).
+    """
+    import jax
+
+    if os.environ.get("BENCH_E2E_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    art_dir = os.path.join(here, "artifacts", "bench_e2e")
+    fit_cfg = json.load(open(os.path.join(art_dir, "bench_fit.json")))
+    meta = json.load(open(os.path.join(art_dir, "meta.json")))
+    n_eval = int(os.environ.get("BENCH_E2E_EVAL", 30_000))
+
+    from otto_tpu import EVENT_TYPES
+    from otto_tpu.data.splits import split_by_time
+    from otto_tpu.data.synthetic import synthetic_events_v2
+    from otto_tpu.eval import oracle as orc
+    from otto_tpu.eval.harness import evaluate_predictions, paired_bootstrap_lift
+    from otto_tpu.features import compute_aid_features
+    from otto_tpu.models.covisitation import (
+        build_covisitation, covisit_heuristic_predictions)
+    from otto_tpu.models.frequency import FrequencyStatistics
+    from otto_tpu.models.gbdt import load_ranker_model
+    from otto_tpu.streaming import _union_stats_store, train_subset_indices
+    from otto_tpu.twostage import TwoStageArtifacts, predict_two_stage
+
+    stages = {}
+    t0 = time.perf_counter()
+    store = synthetic_events_v2(n_sessions=fit_cfg["sessions"],
+                                n_aids=fit_cfg["aids"], seed=fit_cfg["seed"])
+    split = split_by_time(store, val_fraction=fit_cfg["val_fraction"],
+                          seed=fit_cfg["seed"])
+    del store
+    stages["datagen_s"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    mats = build_covisitation(split.train, fit_cfg["aids"])
+    stages["covisit_build_s"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    aid_feats = compute_aid_features(
+        _union_stats_store(split.train, split.val_input), fit_cfg["aids"])
+    stages["aid_features_s"] = round(time.perf_counter() - t0, 1)
+
+    rankers = {name: load_ranker_model(os.path.join(art_dir, f"ranker_{name}.npz"))
+               for name in meta["ranker_names"]}
+    artifacts = TwoStageArtifacts(
+        matrices=mats, sgns=None, candidates=None, rankers=rankers,
+        predictions={}, report=None, max_recall=meta.get("max_recall", {}),
+        heuristic_union=meta.get("heuristic_union", True),
+        feature_list=meta.get("feature_list"),
+    )
+
+    # training-disjoint evaluation subset: everything except the fit draw
+    S = split.val_input.n_sessions
+    train_idx = train_subset_indices(S, fit_cfg["train_sessions"],
+                                     fit_cfg["train_subset_seed"])
+    train_mask = np.zeros(S, bool)
+    train_mask[train_idx] = True
+    pool = np.flatnonzero(~train_mask)
+    eval_idx = pool[:n_eval]
+    emask = np.zeros(S, bool)
+    emask[eval_idx] = True
+    sub = split.val_input.select_sessions(emask)
+    sub_labels = split.val_labels.take(eval_idx)
+
+    stats = FrequencyStatistics.compute(split.train, n_aids=fit_cfg["aids"])
+    stats_top = {t: stats.top_by_type[t] for t in EVENT_TYPES}
+    on_cpu = jax.default_backend() == "cpu"
+    serve_kwargs = dict(
+        chunk_sessions=int(os.environ.get("BENCH_E2E_CHUNK", 512)),
+        recency_host_f64=on_cpu, covisit_host=on_cpu,
+    )
+    t0 = time.perf_counter()
+    heur = covisit_heuristic_predictions(sub, mats, stats_top, **serve_kwargs)
+    fw_serve_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    covisit_heuristic_predictions(sub, mats, stats_top, **serve_kwargs)
+    fw_serve_warm_s = time.perf_counter() - t0
+    stages["heuristic_serve_s"] = round(fw_serve_s, 1)
+    stages["heuristic_serve_warm_s"] = round(fw_serve_warm_s, 1)
+    stages["heuristic_serve_compile_s"] = round(
+        max(fw_serve_s - fw_serve_warm_s, 0.0), 1)
+
+    t0 = time.perf_counter()
+    aid_lists, type_lists = orc.store_to_lists(sub)
+    tables15 = {k: orc.table_to_dict(mats.tables[k][0], 15) for k in mats.tables}
+    freq = {t: [int(a) for a in stats.top_by_type[t]] for t in EVENT_TYPES}
+    orc.oracle_heuristic(aid_lists, type_lists, tables15, freq, None)
+    stages["oracle_serve_s"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    pstats: dict = {}
+    preds = predict_two_stage(
+        artifacts, split.train, sub, fit_cfg["aids"], aid_feats=aid_feats,
+        heuristic_preds=heur,
+        chunk_sessions=int(os.environ.get("BENCH_E2E_CHUNK", 512)),
+        stats_out=pstats,
+    )
+    predict_s = time.perf_counter() - t0
+    stages["two_stage_predict_s"] = round(predict_s, 1)
+    rows = sum(v for k, v in pstats.items() if k.startswith("rows_"))
+
+    rep = evaluate_predictions(
+        sub_labels, preds["clicks"], preds["carts"], preds["orders"])
+    heur_rep = evaluate_predictions(
+        sub_labels, heur["clicks"], heur["carts"], heur["orders"])
+    t0 = time.perf_counter()
+    boot = paired_bootstrap_lift(
+        sub_labels, preds, heur,
+        n_boot=int(os.environ.get("BENCH_E2E_BOOT", 500)))
+    stages["bootstrap_s"] = round(time.perf_counter() - t0, 1)
+
+    return {
+        "platform": jax.default_backend(),
+        "mode": "artifact",
+        "engine": fit_cfg.get("engine", "gbdt"),
+        "fit_artifact": fit_cfg.get("fit_artifact"),
+        "sessions": fit_cfg["sessions"],
+        "train_events": int(split.train.n_events),
+        "eval_sessions": int(len(eval_idx)),
+        "stages": stages,
+        "serve_sessions_per_s": round(len(eval_idx) / fw_serve_s, 0),
+        "serve_sessions_per_s_warm": round(len(eval_idx) / fw_serve_warm_s, 0),
+        "serve_vs_oracle": round(stages["oracle_serve_s"] / fw_serve_s, 2),
+        "serve_vs_oracle_warm": round(
+            stages["oracle_serve_s"] / fw_serve_warm_s, 2),
+        "predict_sessions_per_s": round(len(eval_idx) / predict_s, 0),
+        "ranker_rows_predicted": int(rows),
+        "weighted_recall_disjoint": round(rep.weighted, 4),
+        "heuristic_weighted_recall_disjoint": round(heur_rep.weighted, 4),
+        "lift_vs_heuristic_disjoint": round(rep.weighted - heur_rep.weighted, 4),
+        "bootstrap_vs_heuristic_disjoint": boot,
+    }
+
+
 N_ITEMS = int(os.environ.get("BENCH_N_ITEMS", 1_855_604))
 DIM = 32
 K = 100
@@ -478,13 +632,26 @@ def _run_child(expr: str, tag: str, budget_s: int, extra_env: dict):
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
 
+    # global deadline (VERDICT r4 item 3): the r4 bench's worst-case phase
+    # budgets summed to ~4100 s and the driver killed it at rc=124 with an
+    # empty e2e.  Every child budget is now clamped so the WHOLE bench fits
+    # BENCH_TOTAL_BUDGET (default 2300 s) — later phases get what remains.
+    t_start = time.time()
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", 2300))
+
+    def remaining():
+        return total_budget - (time.time() - t_start)
+
     # ---------------- phase 1: retrieval + tower (headline) --------------
-    retr_budget = int(os.environ.get("BENCH_RETR_TIMEOUT", 900))
+    # reserve ~1100 s for the e2e phase when clamping the retrieval budget
+    retr_budget = int(min(float(os.environ.get("BENCH_RETR_TIMEOUT", 800)),
+                          max(remaining() - 1100, 300)))
     result = _run_child("retrieval_bench()", "RETR_JSON:", retr_budget, {})
-    if not result:
+    if not result and remaining() > 900:
         print("# retrieval phase retrying on the CPU backend at reduced "
               "table size", file=sys.stderr)
-        result = _run_child("retrieval_bench()", "RETR_JSON:", retr_budget,
+        result = _run_child("retrieval_bench()", "RETR_JSON:",
+                            int(min(400.0, remaining() - 800)),
                             {"BENCH_RETR_PLATFORM": "cpu"})
     if not result:
         # absolute floor: never exit without a parsable line
@@ -503,24 +670,41 @@ def main():
         pass
 
     # ---------------- phase 2: end-to-end two-stage pipeline -------------
-    if not os.environ.get("BENCH_SKIP_E2E"):
-        budget_s = int(os.environ.get("BENCH_E2E_TIMEOUT", 2000))
-        e2e = _run_child("e2e_two_stage_bench()", "E2E_JSON:", budget_s, {})
-        if not e2e:
+    # artifact mode (committed fold models, fit offline at the scale where
+    # the lift is statistically resolved) when artifacts/bench_e2e exists;
+    # refit mode otherwise.  CPU fallback reruns artifact mode at a reduced
+    # eval count — the r4 refit-tower-at-3k fallback degenerated to alpha=0.
+    if not os.environ.get("BENCH_SKIP_E2E") and remaining() > 240:
+        have_artifacts = os.path.exists(
+            os.path.join(here, "artifacts", "bench_e2e", "bench_fit.json"))
+        expr = ("e2e_artifact_bench()" if have_artifacts
+                else "e2e_two_stage_bench()")
+        budget_s = int(min(float(os.environ.get("BENCH_E2E_TIMEOUT", 1300)),
+                           remaining() - 60))
+        e2e = _run_child(expr, "E2E_JSON:", budget_s, {})
+        if not e2e and remaining() > 240:
             # device attempt failed (wedged remote compiler / held tunnel):
-            # retry once on the CPU backend — TOWER engine at 10k sessions,
-            # the largest finishable shape on a 2-core host
-            print("# e2e retrying on the CPU backend at reduced scale "
-                  "(tower engine)", file=sys.stderr)
-            e2e = _run_child("e2e_two_stage_bench()", "E2E_JSON:",
-                             int(os.environ.get("BENCH_E2E_TIMEOUT_CPU", 1200)), {
-                "BENCH_E2E_PLATFORM": "cpu",
-                "BENCH_E2E_ENGINE": "tower",
-                "BENCH_E2E_SESSIONS": os.environ.get("BENCH_E2E_SESSIONS_CPU", "10000"),
-                "BENCH_E2E_AIDS": os.environ.get("BENCH_E2E_AIDS_CPU", "6000"),
-                "BENCH_E2E_FOLDS": "3",
-                "BENCH_E2E_EPOCHS": "5",
-            })
+            # retry once on the CPU backend at reduced scale
+            print(f"# e2e retrying on the CPU backend at reduced scale "
+                  f"({'artifact' if have_artifacts else 'tower'} mode)",
+                  file=sys.stderr)
+            fb_budget = int(min(float(os.environ.get("BENCH_E2E_TIMEOUT_CPU", 900)),
+                                remaining() - 30))
+            if have_artifacts:
+                e2e = _run_child(expr, "E2E_JSON:", fb_budget, {
+                    "BENCH_E2E_PLATFORM": "cpu",
+                    "BENCH_E2E_EVAL": os.environ.get("BENCH_E2E_EVAL_CPU", "8000"),
+                    "BENCH_E2E_BOOT": "300",
+                })
+            else:
+                e2e = _run_child(expr, "E2E_JSON:", fb_budget, {
+                    "BENCH_E2E_PLATFORM": "cpu",
+                    "BENCH_E2E_ENGINE": "tower",
+                    "BENCH_E2E_SESSIONS": os.environ.get("BENCH_E2E_SESSIONS_CPU", "10000"),
+                    "BENCH_E2E_AIDS": os.environ.get("BENCH_E2E_AIDS_CPU", "6000"),
+                    "BENCH_E2E_FOLDS": "3",
+                    "BENCH_E2E_EPOCHS": "5",
+                })
         if e2e:
             result["e2e"] = e2e
             print(json.dumps(result), flush=True)

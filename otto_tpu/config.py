@@ -239,6 +239,11 @@ class GBDTConfig(ConfigBase):
     colsample: float = 0.9  # feature_fraction (per tree, via gain masking)
     loss: str = "lambdarank"  # or 'bce'
     lambdarank_k: int = 20
+    # per-session |dDCG| normalization by the ideal DCG@k (LightGBM's
+    # ``lambdarank_norm``, default true — rank_objective.hpp): without it,
+    # positive-heavy sessions dominate the gradient mass, the defect behind
+    # the r4 lambdarank-vs-bce MAP gap (VERDICT r4 weak #6)
+    lambdarank_norm: bool = True
     n_folds: int = 5
     negative_sampling_ratio: float = 0.30
     seed: int = 42

@@ -351,8 +351,9 @@ def _predict_forest(binned, feat, thr, leaf, base, *, depth: int):
 
 
 # ----------------------------------------------------------------- objectives
-@partial(jax.jit, static_argnames=("k", "chunk"))
-def _lambdarank_gh(scores, labels, mask, *, k: int = 20, chunk: int = 1024):
+@partial(jax.jit, static_argnames=("k", "chunk", "norm"))
+def _lambdarank_gh(scores, labels, mask, *, k: int = 20, chunk: int = 1024,
+                   norm: bool = True):
     """LambdaRank gradients/hessians over listwise ``[S, C]`` groups.
 
     For each within-session pair (i, j) with label_i > label_j:
@@ -361,6 +362,11 @@ def _lambdarank_gh(scores, labels, mask, *, k: int = 20, chunk: int = 1024):
       h   += rho * (1 - rho) * |dDCG@k|
     — the gradient/hessian of the pairwise-logistic lambdarank loss the
     reference's GBDTs minimize.  One jitted ``lax.map`` over session chunks.
+
+    With ``norm`` (LightGBM's ``lambdarank_norm``, default true), |dDCG| is
+    divided by the session's ideal DCG@k so every session contributes O(1)
+    gradient mass regardless of its positive count — matching the reference
+    tool's default behavior.
     """
     S, C = scores.shape
     pad = (-S) % chunk
@@ -379,6 +385,13 @@ def _lambdarank_gh(scores, labels, mask, *, k: int = 20, chunk: int = 1024):
         pos_pair = (lab[:, :, None] > lab[:, None, :]) & m[:, :, None] & m[:, None, :]
         rho = jax.nn.sigmoid(sm[:, None, :] - sm[:, :, None])  # sigmoid(s_j - s_i)
         delta = jnp.abs(disc[:, :, None] - disc[:, None, :])
+        if norm:
+            # ideal DCG@k with binary gains: positives stacked at the top
+            n_pos = jnp.sum((lab > 0) & m, axis=1)  # [chunk]
+            ideal = jnp.cumsum(disc_table[:k])  # [k]
+            idx = jnp.clip(jnp.minimum(n_pos, k) - 1, 0, k - 1)
+            max_dcg = jnp.where(n_pos > 0, ideal[idx], 1.0)
+            delta = delta / max_dcg[:, None, None]
         lam = jnp.where(pos_pair, rho * delta, 0.0)
         hc = jnp.where(pos_pair, rho * (1.0 - rho) * delta, 0.0)
         g = -jnp.sum(lam, axis=2) + jnp.sum(lam, axis=1)
@@ -546,7 +559,8 @@ def fit_gbdt(
             pred, val_pred, key = carry
             if config.loss == "lambdarank":
                 g, h = _lambdarank_gh(pred, lab_d, keep_mask,
-                                      k=config.lambdarank_k, chunk=chunk)
+                                      k=config.lambdarank_k, chunk=chunk,
+                                      norm=config.lambdarank_norm)
             else:
                 g, h = _bce_gh(pred, lab_d, keep_mask)
             g = g.reshape(N) * w_flat
@@ -627,7 +641,8 @@ def fit_gbdt(
 
     for t in range(config.n_trees):
         if config.loss == "lambdarank":
-            g, h = _lambdarank_gh(pred, lab_d, keep_mask, k=config.lambdarank_k, chunk=chunk)
+            g, h = _lambdarank_gh(pred, lab_d, keep_mask, k=config.lambdarank_k,
+                                  chunk=chunk, norm=config.lambdarank_norm)
         else:
             g, h = _bce_gh(pred, lab_d, keep_mask)
         g = g.reshape(N) * w_flat

@@ -92,6 +92,16 @@ class StreamedResult:
         return self.report.weighted - self.heuristic_report.weighted
 
 
+def train_subset_indices(n_sessions: int, train_sessions: int,
+                         seed: int) -> np.ndarray:
+    """The deterministic training-subsample draw.  Factored out so consumers
+    that must EXCLUDE the fit subsample later (bench artifact mode,
+    prediction-only reruns) reproduce the identical index set."""
+    rng = np.random.default_rng(seed)
+    return np.sort(rng.choice(n_sessions, size=min(train_sessions, n_sessions),
+                              replace=False))
+
+
 def _union_stats_store(train: EventStore, target: EventStore) -> EventStore:
     return EventStore.from_flat(
         np.concatenate([train.session_ids[train.session_idx],
@@ -127,6 +137,7 @@ def run_two_stage_streamed(
     predict_batch: int = 1 << 20,
     predict_device=None,
     progress_cb=None,
+    exclude_train_subset: bool = False,
 ) -> StreamedResult:
     """Train on a subsample, stream-predict the rest of ``target``.
 
@@ -176,9 +187,7 @@ def run_two_stage_streamed(
         if labels is None:
             raise ValueError("training mode requires labels; pass artifacts "
                              "for prediction-only streaming")
-        rng = np.random.default_rng(train_subset_seed)
-        train_idx = np.sort(rng.choice(S, size=min(train_sessions, S),
-                                       replace=False))
+        train_idx = train_subset_indices(S, train_sessions, train_subset_seed)
         train_mask = np.zeros(S, bool)
         train_mask[train_idx] = True
         t0 = time.time()
@@ -207,6 +216,14 @@ def run_two_stage_streamed(
         timings["train_sessions"] = int(len(train_idx))
     else:
         train_mask = np.zeros(S, bool)
+        if exclude_train_subset:
+            # prediction-only mode over a target whose training subsample was
+            # drawn earlier (same ``train_subset_seed`` draw): exclude those
+            # sessions so every streamed session stays training-disjoint and
+            # the evaluation below remains an unbiased lift measurement
+            train_idx = train_subset_indices(S, train_sessions,
+                                             train_subset_seed)
+            train_mask[train_idx] = True
         timings["train_s"] = 0.0
         timings["train_sessions"] = 0
 

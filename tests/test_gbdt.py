@@ -155,11 +155,23 @@ def test_lambdarank_gh_matches_autodiff(rng):
         return jnp.sum(jnp.where(pos_pair, pair, 0.0))
 
     g_auto = jax.grad(loss)(scores)
-    g, h = _lambdarank_gh(scores, labels, mask, k=20, chunk=4)
+    g, h = _lambdarank_gh(scores, labels, mask, k=20, chunk=4, norm=False)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_auto), rtol=1e-4, atol=1e-5)
     assert (np.asarray(h) >= 0).all()
     # masked candidates get zero gradient
     assert np.abs(np.asarray(g)[~np.asarray(mask)]).max() == 0.0
+
+    # norm=True (LightGBM's lambdarank_norm default) divides each session's
+    # gradients by its ideal DCG@k — binary gains, positives stacked on top
+    g_n, h_n = _lambdarank_gh(scores, labels, mask, k=20, chunk=4, norm=True)
+    disc_t = 1.0 / np.log2(np.arange(C, dtype=np.float32) + 2.0)
+    n_pos = np.asarray(((labels > 0) & np.asarray(mask)).sum(axis=1))
+    ideal = np.cumsum(disc_t[:20])
+    max_dcg = np.where(n_pos > 0, ideal[np.clip(np.minimum(n_pos, 20) - 1, 0, 19)], 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g_n), np.asarray(g_auto) / max_dcg[:, None],
+        rtol=1e-4, atol=1e-5)
+    assert (np.asarray(h_n) >= 0).all()
 
 
 def _listwise_problem(rng, S=240, C=16, F=6, noise=0.05):
