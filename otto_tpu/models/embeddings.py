@@ -464,8 +464,14 @@ def train_sgns_device(
     total_pairs = 0
     n_steps_total = None
     step = 0
+    epoch_log: list[dict] = []
     min_ratio = config.min_learning_rate / config.learning_rate
     for epoch in range(config.epochs):
+        # per-epoch host-side cost, measured separately (VERDICT r4 item 6:
+        # the subsample/compact/upload at 220M events was untested): the
+        # subsample+compact is host numpy, the upload crosses the link at
+        # ~8 B/event and dominates on a slow tunnel
+        t_h = _time.time()
         if config.subsample_t > 0:
             p_keep = (np.sqrt(config.subsample_t / np.maximum(freq, 1e-12))
                       + config.subsample_t / np.maximum(freq, 1e-12))
@@ -480,8 +486,13 @@ def train_sgns_device(
         sidx_pad = np.full(n, -1, np.int32)
         aid_pad[:m] = aid_k
         sidx_pad[:m] = sidx_k
+        host_prep_s = _time.time() - t_h
+        t_u = _time.time()
         aid_dev = jnp.asarray(aid_pad)
         sidx_dev = jnp.asarray(sidx_pad)
+        # force materialization on device before starting the step clock
+        _ = np.asarray(aid_dev[:1]), np.asarray(sidx_dev[:1])
+        upload_s = _time.time() - t_u
         if n_steps_total is None:
             # the host generator emits ~2*m*w*acc pairs per epoch (each of m
             # events, both directions, w offsets, acceptance acc = mean over
@@ -512,9 +523,19 @@ def train_sgns_device(
         ep_kept = int(sum(float(np.asarray(k)) for k in kepts))
         total_pairs += ep_kept
         total_draws = len(kepts) * steps_per_dispatch * B
+        epoch_log.append({
+            "host_prep_s": round(host_prep_s, 1),
+            "upload_s": round(upload_s, 1),
+            "upload_mb": round((aid_pad.nbytes + sidx_pad.nbytes) / 1e6, 1),
+            "kept_events": int(m),
+            "pairs": int(ep_kept),
+            "loss": round(ep_loss, 4),
+        })
         log.info("sgns-device epoch %d/%d: %d pairs (%d steps, accept %.2f), "
-                 "loss %.4f", epoch + 1, config.epochs, ep_kept,
-                 n_steps_epoch, ep_kept / max(total_draws, 1), ep_loss)
+                 "loss %.4f (host prep %.1fs, upload %.1fs)",
+                 epoch + 1, config.epochs, ep_kept,
+                 n_steps_epoch, ep_kept / max(total_draws, 1), ep_loss,
+                 host_prep_s, upload_s)
     train_s = _time.time() - t0_all
     if pairs_out is not None:
         pairs_out.update({
@@ -522,6 +543,7 @@ def train_sgns_device(
             "train_s": round(train_s, 1),
             "pairs_per_s": round(total_pairs / max(train_s, 1e-9), 0),
             "shared_negatives": int(shared_negatives),
+            "epoch_log": epoch_log,
         })
     log.info("sgns-device: %d pairs in %.1fs (%.0f pairs/s)",
              total_pairs, train_s, total_pairs / max(train_s, 1e-9))
