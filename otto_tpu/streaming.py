@@ -138,6 +138,7 @@ def run_two_stage_streamed(
     predict_device=None,
     progress_cb=None,
     exclude_train_subset: bool = False,
+    max_stream_sessions: int = 0,
 ) -> StreamedResult:
     """Train on a subsample, stream-predict the rest of ``target``.
 
@@ -229,6 +230,11 @@ def run_two_stage_streamed(
 
     # ---- stage 2: stream the remaining sessions --------------------------
     streamed_idx = np.flatnonzero(~train_mask)
+    if max_stream_sessions and len(streamed_idx) > max_stream_sessions:
+        # cap the streamed set (still training-disjoint; the cap is a wall-
+        # clock bound, recorded so a capped artifact cannot read as full)
+        streamed_idx = streamed_idx[:max_stream_sessions]
+        timings["stream_capped_at"] = int(max_stream_sessions)
     n_stream = len(streamed_idx)
     ft_neighbors = (artifacts.sgns.neighbor_table(k=20)
                     if artifacts.sgns is not None else None)

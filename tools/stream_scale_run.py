@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--selection-seed", type=int, default=17)
     ap.add_argument("--n-boot", type=int, default=1000)
     ap.add_argument("--chunk-sessions", type=int, default=2048)
+    ap.add_argument("--max-stream-sessions", type=int, default=0,
+                    help="cap streamed sessions (0 = all; recorded in "
+                         "timings as stream_capped_at)")
     ap.add_argument("--platform", type=str, default="")
     ap.add_argument("--predict-device", type=str, default="",
                     help="jax platform for the GBDT forest pass (e.g. "
@@ -193,6 +196,7 @@ def main() -> int:
         n_boot=args.n_boot,
         predict_device=predict_device,
         progress_cb=_progress,
+        max_stream_sessions=args.max_stream_sessions,
     )
     results.pop("timings_partial", None)
 
