@@ -82,6 +82,20 @@ class EventStore:
         np.cumsum(counts, out=offsets[1:])
         return cls(session_idx.astype(np.int32), aid, ts, type_, offsets, session_ids)
 
+    def save_npz(self, path) -> None:
+        """Raw column dump (uncompressed: ~17 B/event, reload is a mmap-speed
+        read).  For caching multi-hundred-million-event synthetic corpora
+        across tools — the 216.7M-event datagen costs ~12 min of 2-core CPU."""
+        np.savez(path, session_idx=self.session_idx, aid=self.aid, ts=self.ts,
+                 type=self.type, offsets=self.offsets,
+                 session_ids=self.session_ids)
+
+    @classmethod
+    def load_npz(cls, path) -> "EventStore":
+        z = np.load(path)
+        return cls(z["session_idx"], z["aid"], z["ts"], z["type"],
+                   z["offsets"], z["session_ids"])
+
     @classmethod
     def from_parquet(cls, path) -> "EventStore":
         import pyarrow.parquet as pq

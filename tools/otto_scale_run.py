@@ -69,6 +69,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default="")
     ap.add_argument("--budget-rows", type=float, default=96e6)
+    ap.add_argument("--store-npz", type=str, default="",
+                    help="cache the build-phase event store here (load if "
+                         "present, else datagen + save)")
     ap.add_argument("--out", type=str, default="OTTO_SCALE.json")
     args = ap.parse_args()
     phases = set(args.phases.split(","))
@@ -153,10 +156,18 @@ def main() -> int:
     if "build" in phases:
         n_sessions = int(args.events / (MEAN_LEN + 1))
         t0 = time.time()
-        store = synthetic_events_v2(
-            n_sessions=n_sessions, n_aids=args.aids, mean_length=MEAN_LEN,
-            seed=args.seed,
-        )
+        if args.store_npz and os.path.exists(args.store_npz):
+            from otto_tpu.data.events import EventStore
+
+            store = EventStore.load_npz(args.store_npz)
+            print(f"# store loaded from {args.store_npz}", flush=True)
+        else:
+            store = synthetic_events_v2(
+                n_sessions=n_sessions, n_aids=args.aids, mean_length=MEAN_LEN,
+                seed=args.seed,
+            )
+            if args.store_npz:
+                store.save_npz(args.store_npz)
         results["build_datagen_s"] = round(time.time() - t0, 1)
         results["build_n_events"] = int(store.n_events)
         results["build_n_sessions"] = int(store.n_sessions)

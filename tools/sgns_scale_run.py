@@ -45,6 +45,8 @@ def main() -> int:
                     help="cap sharded-phase steps (0 = full epoch)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--store-npz", type=str, default="",
+                    help="cache the event store here (load if present)")
     ap.add_argument("--out", type=str, default="SGNS_SCALE.json")
     args = ap.parse_args()
     phases = set(args.phases.split(","))
@@ -71,8 +73,16 @@ def main() -> int:
 
     n_sessions = int(args.events / 13)
     t0 = time.time()
-    store = synthetic_events_v2(n_sessions=n_sessions, n_aids=args.aids,
-                                seed=args.seed)
+    if args.store_npz and os.path.exists(args.store_npz):
+        from otto_tpu.data.events import EventStore
+
+        store = EventStore.load_npz(args.store_npz)
+        print(f"# store loaded from {args.store_npz}", flush=True)
+    else:
+        store = synthetic_events_v2(n_sessions=n_sessions, n_aids=args.aids,
+                                    seed=args.seed)
+        if args.store_npz:
+            store.save_npz(args.store_npz)
     results["n_events"] = int(store.n_events)
     print(f"# data: {store.n_events} events over {args.aids} aids "
           f"({time.time()-t0:.0f}s)", flush=True)
