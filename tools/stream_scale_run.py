@@ -58,6 +58,10 @@ def main() -> int:
                          "link-cheap and forest routing is device-fast)")
     ap.add_argument("--engine", type=str, default="gbdt",
                     choices=["gbdt", "tower"])
+    ap.add_argument("--loss", type=str, default="",
+                    help="override the engine's loss (gbdt: lambdarank|bce "
+                         "- bce is the measured production objective, "
+                         "GBDT_REFSHAPE.json)")
     ap.add_argument("--matrices-dir", type=str, default="",
                     help="load/save covisitation matrices here (crash resume)")
     ap.add_argument("--artifact-dir", type=str, default="",
@@ -144,7 +148,8 @@ def main() -> int:
     else:
         cfg = GBDTConfig(n_trees=args.trees, n_folds=args.folds,
                          early_stopping_rounds=args.early_stop,
-                         min_data_in_leaf=200)
+                         min_data_in_leaf=200,
+                         **({"loss": args.loss} if args.loss else {}))
 
     shard_count = [0]
 
