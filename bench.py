@@ -607,6 +607,27 @@ def retrieval_bench():
     }
 
 
+def link_probe():
+    """Host<->device link health (MB/s, one round trip) on the default
+    backend.  The tunneled platform intermittently degrades to ~1 MB/s
+    (REPORT.md round-5 degraded-tunnel finding); a wedged transfer inside
+    the e2e child would silently burn its whole budget — exactly how the r4
+    bench ended at rc=124 with an empty e2e — so main() probes in a cheap
+    killable child first and routes the e2e phase straight to the CPU
+    backend when the link is sick."""
+    import jax
+
+    backend = jax.default_backend()
+    n = int(os.environ.get("BENCH_LINK_MB", 8)) * (1 << 20) // 4
+    x = np.ones(n, np.float32)
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    _ = np.asarray(d)  # force the h2d + d2h round trip
+    dt = max(time.perf_counter() - t0, 1e-6)
+    return {"backend": backend, "mbps": round(2 * n * 4 / 1e6 / dt, 2),
+            "seconds": round(dt, 2)}
+
+
 def _run_child(expr: str, tag: str, budget_s: int, extra_env: dict):
     """Run ``bench.<expr>`` in a subprocess, return its parsed JSON or {}."""
     env = dict(os.environ, **extra_env)
@@ -642,6 +663,21 @@ def main():
     def remaining():
         return total_budget - (time.time() - t_start)
 
+    # ---------------- phase 0: link-health probe --------------------------
+    # the tunneled device's host link intermittently collapses to ~1 MB/s;
+    # measure it up front (killable child) so the e2e phase can route
+    # around a sick link instead of wedging inside its budget
+    link = _run_child("link_probe()", "LINK_JSON:", 120, {})
+    link_ok = bool(link) and (
+        link.get("backend") == "cpu"  # host backend: no tunnel to degrade
+        or link.get("mbps", 0.0)
+        >= float(os.environ.get("BENCH_LINK_MIN_MBPS", 2.0)))
+    if link:
+        print(f"# link probe: {link}", file=sys.stderr)
+    else:
+        print("# link probe failed/timed out — treating device link as sick",
+              file=sys.stderr)
+
     # ---------------- phase 1: retrieval + tower (headline) --------------
     # reserve ~1100 s for the e2e phase when clamping the retrieval budget
     retr_budget = int(min(float(os.environ.get("BENCH_RETR_TIMEOUT", 800)),
@@ -662,6 +698,8 @@ def main():
     # flush the partial IMMEDIATELY: a driver timeout during the e2e phase
     # must still leave a parsable line in the stdout tail (VERDICT r2 item 1)
     result["e2e"] = {}
+    if link:
+        result["link_probe"] = link
     print(json.dumps(result), flush=True)
     try:
         with open(os.path.join(here, "BENCH_partial.json"), "w") as f:
@@ -679,9 +717,18 @@ def main():
             os.path.join(here, "artifacts", "bench_e2e", "bench_fit.json"))
         expr = ("e2e_artifact_bench()" if have_artifacts
                 else "e2e_two_stage_bench()")
-        budget_s = int(min(float(os.environ.get("BENCH_E2E_TIMEOUT", 1300)),
-                           remaining() - 60))
-        e2e = _run_child(expr, "E2E_JSON:", budget_s, {})
+        if link_ok:
+            # device attempt capped so the CPU fallback always keeps a
+            # usable slice of the budget (the r4 1300 s attempt left < 240 s)
+            budget_s = int(min(float(os.environ.get("BENCH_E2E_TIMEOUT", 900)),
+                               remaining() - 700))
+            e2e = _run_child(expr, "E2E_JSON:", budget_s, {})
+        else:
+            # sick/unprobeable link: do not attempt the device path at all —
+            # a wedged ~50 MB binned-matrix transfer would eat the budget
+            print("# e2e routed straight to the CPU backend (sick link)",
+                  file=sys.stderr)
+            e2e = {}
         if not e2e and remaining() > 240:
             # device attempt failed (wedged remote compiler / held tunnel):
             # retry once on the CPU backend at reduced scale
