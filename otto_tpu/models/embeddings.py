@@ -419,6 +419,8 @@ def train_sgns_device(
     steps_per_dispatch: int = 512,
     pairs_out: dict | None = None,
     shared_negatives: int | None = None,
+    max_steps_per_epoch: int = 0,
+    progress_every: int = 0,
 ) -> SGNSModel:
     """Device-resident SGNS training: the event stream crosses the link once
     per epoch (~8 bytes/event) and every pair is sampled on device.
@@ -433,6 +435,13 @@ def train_sgns_device(
     ``max(batch // 8, n_negatives)`` when ``config.negatives >= 16`` (the
     per-pair scatter dominates there) and 0 (per-pair negatives, exact
     word2vec objective) otherwise.
+
+    ``max_steps_per_epoch`` caps the measured epoch at a whole number of
+    dispatches (a full-corpus measurement run on a wall-clock budget); the
+    uncapped step count is recorded in ``epoch_log`` so the capped run's
+    per-component costs extrapolate without guessing.  ``progress_every``
+    forces the running loss every that many dispatches (a ~4-byte fetch —
+    visible pacing on a tunnel that can silently wedge mid-transfer).
     """
     import time as _time
 
@@ -505,8 +514,15 @@ def train_sgns_device(
             # every dispatch runs exactly steps_per_dispatch scanned steps
             # (one compiled shape); round the epoch up to a whole dispatch
             n_steps_epoch = -(-n_steps_epoch // steps_per_dispatch) * steps_per_dispatch
+            n_steps_epoch_full = n_steps_epoch
+            if max_steps_per_epoch:
+                n_steps_epoch = min(
+                    n_steps_epoch,
+                    max(-(-max_steps_per_epoch // steps_per_dispatch), 1)
+                    * steps_per_dispatch)
             n_steps_total = n_steps_epoch * config.epochs
         losses, kepts = [], []
+        t_ep = _time.time()
         for s0 in range(0, n_steps_epoch, steps_per_dispatch):
             lrs = config.learning_rate * np.maximum(
                 1.0 - (step + np.arange(steps_per_dispatch)) / max(n_steps_total, 1),
@@ -519,6 +535,13 @@ def train_sgns_device(
             step += min(steps_per_dispatch, n_steps_epoch - s0)
             losses.append(loss)
             kepts.append(kept)  # device scalars; forced once per epoch
+            if progress_every and ((s0 // steps_per_dispatch) + 1) % progress_every == 0:
+                done = s0 + steps_per_dispatch
+                el = _time.time() - t_ep
+                log.info("sgns-device epoch %d: %d/%d steps, %.0fk draws/s, "
+                         "loss %.4f (%.0fs)", epoch + 1, done, n_steps_epoch,
+                         done * B / max(el, 1e-9) / 1e3,
+                         float(np.asarray(loss)), el)
         ep_loss = float(np.asarray(losses[-1])) if losses else float("nan")
         ep_kept = int(sum(float(np.asarray(k)) for k in kepts))
         total_pairs += ep_kept
@@ -530,6 +553,9 @@ def train_sgns_device(
             "kept_events": int(m),
             "pairs": int(ep_kept),
             "loss": round(ep_loss, 4),
+            "steps_run": int(n_steps_epoch),
+            "steps_full_epoch": int(n_steps_epoch_full),
+            "step_s": round(_time.time() - t_ep, 1),
         })
         log.info("sgns-device epoch %d/%d: %d pairs (%d steps, accept %.2f), "
                  "loss %.4f (host prep %.1fs, upload %.1fs)",

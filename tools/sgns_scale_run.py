@@ -213,7 +213,9 @@ def main() -> int:
         t0 = time.time()
         model = train_sgns_device(store, args.aids, cfg,
                                   steps_per_dispatch=256,
-                                  pairs_out=pairs_out)
+                                  pairs_out=pairs_out,
+                                  max_steps_per_epoch=args.max_steps,
+                                  progress_every=4)
         results["device"] = {
             "table_rows": args.aids,
             "epochs": args.epochs,
