@@ -219,7 +219,13 @@ def main() -> int:
                   flush=True)
 
         mats = build_covisitation(
-            store, args.aids, budget_rows=int(args.budget_rows),
+            store, args.aids,
+            # 0 => exact mode (no pruning, one final merge-reduce): at the
+            # measured corpus density (~1.04 aggregated rows/event, r5
+            # compaction_log) the full 216.7M-event pair table is ~8 GB —
+            # bounded-memory compaction is unnecessary and its prune lexsort
+            # dominated the r4/r5 decaying builds
+            budget_rows=int(args.budget_rows) or None,
             stats_out=stats, progress_cb=_build_progress,
         )
         build_s = time.time() - t0
