@@ -195,16 +195,34 @@ def prune_per_source(
     its partial weight if it reappears in later chunks.  With ``cap`` several
     times the final top-k the end-table error is negligible (measured in
     tests/test_covisit_build.py and REPORT.md)."""
+    n = len(keys)
+    if n == 0:
+        return keys, weights
     aid_x = keys // n_aids
     scale = weights.mean(axis=0)
     score = (weights / np.maximum(scale, 1e-30)).max(axis=1)
-    order = np.lexsort((-score, aid_x))
-    ax = aid_x[order]
-    group_start = np.concatenate([[True], ax[1:] != ax[:-1]])
-    start_idx = np.maximum.accumulate(np.where(group_start, np.arange(len(ax)), 0))
-    rank = np.arange(len(ax)) - start_idx
-    keep = np.zeros(len(keys), dtype=bool)
-    keep[order[rank < cap]] = True
+    # keys are sorted, so aid_x groups are contiguous: rows in groups of
+    # size <= cap are kept outright, and the rank selection sorts ONLY the
+    # oversized-group subset.  The r5 216.7M-event build measured the old
+    # full-table lexsort at 400-800 s per compaction while removing ~5% of
+    # rows — the selection work is proportional to the overflow, not the
+    # table (artifacts/COVISIT_BUILD_decay_r05.json compaction_log).
+    starts = np.flatnonzero(np.concatenate([[True], aid_x[1:] != aid_x[:-1]]))
+    sizes = np.diff(np.append(starts, n))
+    big = sizes > cap
+    if not big.any():
+        return keys, weights
+    big_starts = starts[big]
+    big_sizes = sizes[big]
+    total = int(big_sizes.sum())
+    off = np.concatenate([[0], np.cumsum(big_sizes)[:-1]])
+    # ragged ranges: absolute row index of every oversized-group member
+    idx = np.repeat(big_starts - off, big_sizes) + np.arange(total)
+    g = np.repeat(np.arange(len(big_starts)), big_sizes)
+    order = np.lexsort((-score[idx], g))  # stable: same tie-break as before
+    rank = np.arange(total) - np.repeat(off, big_sizes)
+    keep = np.ones(n, dtype=bool)
+    keep[idx[order[rank >= cap]]] = False
     return keys[keep], weights[keep]
 
 

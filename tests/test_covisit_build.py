@@ -191,3 +191,44 @@ def test_progress_cb_counts_packed_events():
     assert seen, "progress callback never fired"
     assert seen == sorted(seen)
     assert seen[-1] == int(lens.sum())
+
+
+def test_prune_per_source_matches_full_lexsort_reference():
+    """The subset-lexsort prune (r5: selection work proportional to the
+    overflow, not the table) must select exactly the rows the original
+    full-table ``lexsort((-score, aid_x))`` rank-< cap rule selected,
+    including stable tie-breaks."""
+    from otto_tpu.ops.covisit import COVISIT_KINDS, prune_per_source
+
+    rng = np.random.default_rng(11)
+    n_aids, cap, rows = 50, 4, 3_000
+    aid_x = np.sort(rng.integers(0, n_aids, rows))
+    aid_y = rng.integers(0, n_aids, rows)
+    keys = np.asarray(aid_x * n_aids + aid_y, np.int64)
+    keys.sort()
+    w = rng.random((rows, len(COVISIT_KINDS))).astype(np.float32)
+    # quantize so score ties actually occur and exercise the tie-break
+    w = np.round(w, 1)
+
+    def reference(keys, weights):
+        ax = keys // n_aids
+        scale = weights.mean(axis=0)
+        score = (weights / np.maximum(scale, 1e-30)).max(axis=1)
+        order = np.lexsort((-score, ax))
+        axo = ax[order]
+        gs = np.concatenate([[True], axo[1:] != axo[:-1]])
+        start = np.maximum.accumulate(np.where(gs, np.arange(len(axo)), 0))
+        rank = np.arange(len(axo)) - start
+        keep = np.zeros(len(keys), dtype=bool)
+        keep[order[rank < cap]] = True
+        return keys[keep], weights[keep]
+
+    k1, w1 = prune_per_source(keys.copy(), w.copy(), n_aids, cap)
+    k2, w2 = reference(keys, w)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(w1, w2)
+    # all-small-groups fast path: nothing pruned, arrays returned unchanged
+    few = np.asarray(np.sort(rng.choice(n_aids * n_aids, 40, replace=False)), np.int64)
+    wf = rng.random((40, len(COVISIT_KINDS))).astype(np.float32)
+    k3, w3 = prune_per_source(few, wf, n_aids, cap=64)
+    np.testing.assert_array_equal(k3, few)
